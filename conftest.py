@@ -1,0 +1,20 @@
+"""Root conftest: force a virtual 8-device CPU mesh and float64 so
+sharding tests run without a TPU pod and parity tests get MATLAB-grade
+precision (SURVEY.md section 4 test strategy).
+
+NOTE: this environment's sitecustomize imports jax and pins
+JAX_PLATFORMS=axon (TPU tunnel) in every interpreter, so plain env vars
+are captured before conftest runs; we must go through jax.config.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

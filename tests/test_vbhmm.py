@@ -1,0 +1,174 @@
+"""VBEM engine tests: ELBO monotonicity, synthetic-recovery, model
+selection, and the auxiliary HMM tools.
+
+Mirrors the reference's verification mechanisms (SURVEY.md section 4):
+the ELBO-monotonicity runtime check of `vbhmm_em.m:291-301` becomes a
+hard assertion; the synthetic ground-truth benchmark of
+`Synthetic_experiment/exprmt1_sampledata.m` becomes the acceptance
+test."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vbhem_tpu.config import VBConfig
+from vbhem_tpu.containers import HMM, SeqBatch
+from vbhem_tpu.models import hmm_tools, vbhmm
+
+
+def make_gt_hmm(trans, dtype=jnp.float64):
+    """The synthetic GT HMM family of exprmt1_sampledata.m:21-43:
+    2 states, shared means (0,0)/(3,3), identity covariances."""
+    return HMM(prior=jnp.asarray([0.5, 0.5], dtype),
+               trans=jnp.asarray(trans, dtype),
+               mean=jnp.asarray([[0.0, 0.0], [3.0, 3.0]], dtype),
+               cov=jnp.broadcast_to(jnp.eye(2, dtype=dtype), (2, 2, 2)))
+
+
+@pytest.fixture(scope="module")
+def synth_batch():
+    hmm = make_gt_hmm([[0.6, 0.4], [0.4, 0.6]])
+    _, x = hmm_tools.sample(jax.random.key(7), hmm, t=50, n=25)
+    return SeqBatch(x=x, lengths=jnp.full((25,), 50, jnp.int32))
+
+
+@pytest.fixture(scope="module")
+def vb_cfg():
+    return VBConfig(mu0=(1.5, 1.5), w0=1.0, numtrials=4)
+
+
+def em_trace(batch, k, cfg, key=0):
+    """Run EM recording the ELBO at every iteration (host loop)."""
+    hyps = vbhmm.VBHyps.from_config(cfg, batch.x.shape[-1], batch.x.dtype)
+    post = vbhmm.random_init(jax.random.key(key), batch, k, hyps)
+    lls = []
+    for _ in range(50):
+        fb = vbhmm.e_step(batch, post)
+        stats = vbhmm.suff_stats(batch, fb)
+        ll = float(vbhmm.elbo(batch, post, fb, stats, hyps))
+        lls.append(ll)
+        post = vbhmm.m_step(stats, hyps)
+        if len(lls) > 2 and abs((lls[-1] - lls[-2]) / lls[-2]) < 1e-8:
+            break
+    return np.array(lls), post
+
+
+def test_elbo_monotone(synth_batch, vb_cfg):
+    lls, _ = em_trace(synth_batch, 2, vb_cfg)
+    diffs = np.diff(lls)
+    assert np.all(diffs >= -1e-7 * np.abs(lls[:-1])), diffs
+
+
+def test_vbem_recovers_states(synth_batch, vb_cfg):
+    res, _ = vbhmm.learn(jax.random.key(0), synth_batch, 2, vb_cfg)
+    means = np.asarray(res.model.mean)
+    order = np.argsort(means[:, 0])
+    np.testing.assert_allclose(means[order], [[0, 0], [3, 3]], atol=0.35)
+    trans = np.asarray(res.model.trans)[order][:, order]
+    np.testing.assert_allclose(trans, [[0.6, 0.4], [0.4, 0.6]], atol=0.12)
+
+
+def test_while_loop_matches_host_loop(synth_batch, vb_cfg):
+    """The jitted while_loop EM must match the step-by-step host loop."""
+    hyps = vbhmm.VBHyps.from_config(vb_cfg, 2, synth_batch.x.dtype)
+    post0 = vbhmm.random_init(jax.random.key(3), synth_batch, 2, hyps)
+    st = vbhmm.vbem_em(synth_batch, post0, hyps, max_iter=100, min_diff=1e-5)
+    # host loop with identical convergence rule
+    post, lls = post0, []
+    for _ in range(100):
+        fb = vbhmm.e_step(synth_batch, post)
+        stats = vbhmm.suff_stats(synth_batch, fb)
+        ll = float(vbhmm.elbo(synth_batch, post, fb, stats, hyps))
+        if lls and abs((ll - lls[-1]) / lls[-1]) <= 1e-5:
+            lls.append(ll)
+            post = vbhmm.m_step(stats, hyps)
+            break
+        lls.append(ll)
+        post = vbhmm.m_step(stats, hyps)
+    np.testing.assert_allclose(float(st.ll), lls[-1], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.post.niw.m),
+                               np.asarray(post.niw.m), rtol=1e-10)
+
+
+def test_model_selection_prefers_k2(synth_batch, vb_cfg):
+    res, info = vbhmm.learn(jax.random.key(0), synth_batch, [1, 2, 3], vb_cfg)
+    assert info["model_best_k"] == 2
+
+
+def test_standardize_orders_by_path(synth_batch, vb_cfg):
+    res, _ = vbhmm.learn(jax.random.key(0), synth_batch, 2, vb_cfg)
+    # 'f' ordering starts at the most probable initial state
+    assert float(res.model.prior[0]) >= float(res.model.prior[1]) - 1e-9
+
+
+def test_remove_empty(synth_batch, vb_cfg):
+    # Fit K=4 on 2-state data: some states should be (near-)empty is not
+    # guaranteed, so construct a fake result instead.
+    res, _ = vbhmm.learn(jax.random.key(0), synth_batch, 2, vb_cfg)
+    res2 = res._replace(counts=jnp.asarray([100.0, 0.2]))
+    out, keep, removed = vbhmm.remove_empty(res2, thresh=1.0)
+    assert list(keep) == [0] and list(removed) == [1]
+    assert out.post.alpha.shape == (1,)
+    np.testing.assert_allclose(np.sum(np.asarray(out.gamma), -1)[
+        np.asarray(synth_batch.mask)], 1.0, atol=1e-9)
+
+
+def test_loglik_matches_bruteforce():
+    hmm = make_gt_hmm([[0.7, 0.3], [0.2, 0.8]])
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(3, 4, 2)) + 1.0
+    batch = SeqBatch(x=jnp.asarray(x), lengths=jnp.asarray([4, 2, 3], jnp.int32))
+    ll = np.asarray(hmm_tools.loglik(batch, hmm))
+
+    import itertools
+    from scipy.stats import multivariate_normal
+    for i, t_len in enumerate([4, 2, 3]):
+        tot = 0.0
+        for path in itertools.product(range(2), repeat=t_len):
+            p = float(hmm.prior[path[0]])
+            for t in range(1, t_len):
+                p *= float(hmm.trans[path[t - 1], path[t]])
+            for t, s in enumerate(path):
+                p *= multivariate_normal.pdf(
+                    x[i, t], np.asarray(hmm.mean)[s], np.asarray(hmm.cov)[s])
+            tot += p
+        np.testing.assert_allclose(ll[i], np.log(tot), rtol=1e-8)
+
+
+def test_viterbi_matches_bruteforce():
+    hmm = make_gt_hmm([[0.7, 0.3], [0.2, 0.8]])
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(2, 5, 2)) * 2
+    batch = SeqBatch(x=jnp.asarray(x), lengths=jnp.asarray([5, 3], jnp.int32))
+    paths, logp = hmm_tools.viterbi(batch, hmm)
+
+    import itertools
+    from scipy.stats import multivariate_normal
+    for i, t_len in enumerate([5, 3]):
+        best, best_path = -np.inf, None
+        for path in itertools.product(range(2), repeat=t_len):
+            lp = np.log(float(hmm.prior[path[0]]))
+            for t in range(1, t_len):
+                lp += np.log(float(hmm.trans[path[t - 1], path[t]]))
+            for t, s in enumerate(path):
+                lp += multivariate_normal.logpdf(
+                    x[i, t], np.asarray(hmm.mean)[s], np.asarray(hmm.cov)[s])
+            if lp > best:
+                best, best_path = lp, path
+        assert tuple(np.asarray(paths)[i, :t_len]) == best_path
+        np.testing.assert_allclose(float(logp[i]), best, rtol=1e-8)
+
+
+def test_kld_positive_and_zero_on_self():
+    h1 = make_gt_hmm([[0.6, 0.4], [0.4, 0.6]])
+    h2 = make_gt_hmm([[0.2, 0.8], [0.8, 0.2]])
+    key = jax.random.key(0)
+    assert float(hmm_tools.kld(key, h1, h2, n_samples=200)) > 0
+    assert abs(float(hmm_tools.kld(key, h1, h1, n_samples=50))) < 1e-9
+
+
+def test_steady_state():
+    trans = jnp.asarray([[0.9, 0.1], [0.5, 0.5]])
+    ss = np.asarray(vbhmm.steady_state(trans))
+    np.testing.assert_allclose(ss @ np.asarray(trans), ss, atol=1e-10)
+    np.testing.assert_allclose(ss.sum(), 1.0, atol=1e-10)

@@ -1,0 +1,657 @@
+"""VBHEM: clustering a bank of HMMs into K reduced cluster-center HMMs
+with S states each, without touching raw data (the reference's L3
+engine, `src/vbhem/`).
+
+Parity map (reference file -> here):
+  * `vbhem_h3m_cluster.m`    -> :func:`cluster` ((K,S) grid + selection)
+  * `vbhem_h3m_c.m`          -> :func:`fit_single_ks` (vmapped trials)
+  * `vbhem_h3m_c_step_fc.m`  -> :func:`vbhem_em` (the EM loop)
+  * `vbhem_hmm_bwd_fwd_*`    -> :mod:`..ops.pair_estep`
+  * `vbhemh3m_lb.m`          -> :func:`elbo` (10 terms)
+  * `vbhem_mstep_component.m` + `vbhem_compute_Statistics.m`
+                             -> :func:`m_step`
+  * `hmms_to_h3m_hem.m`      -> :func:`h3m_from_results`
+  * `vbhemhmm_init.m`        -> :func:`init_baseem` / :func:`init_wtkmeans`
+                                / :func:`init_random`
+  * `form_outputH3M.m`       -> :class:`VBHEMResult` / :func:`finalize`
+  * `vbh3m_remove_empty.m`   -> :func:`remove_empty_clusters`
+
+TPU-first design: the (i, j) pair grid, the trial restarts, and the
+(K, S) sweep are all batch axes (vmap / one compiled program per grid
+cell) rather than `parfor` loops; the base-HMM bank is a dense padded
+pytree so the hot E-step is pure batched einsum + scan.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from ..config import VBHEMConfig
+from ..containers import H3M, HMM, H3MPosterior, NIW, VBHMMResult
+from ..ops.kmeans import kmeans
+from ..ops.pair_estep import (PairStats, expected_pair_ll_variational,
+                              pair_bwd_fwd)
+from ..utils.numeric import (e_log_det_lambda, e_log_dirichlet, inv_psd,
+                             log_dirichlet_const, log_wishart_b, logdet_psd,
+                             sym, tiny)
+
+
+class VBHEMHyps(NamedTuple):
+    """Prior hyperparameters of the reduced model as a differentiable
+    pytree (the learnable set of `vbhem_get_hypinfo.m`)."""
+    alpha0: jnp.ndarray
+    eta0: jnp.ndarray
+    epsilon0: jnp.ndarray
+    lambda0: jnp.ndarray
+    v0: jnp.ndarray
+    m0: jnp.ndarray   # [D]
+    w0: jnp.ndarray   # [D] diagonal of W0
+
+    @property
+    def w0inv_diag(self) -> jnp.ndarray:
+        return 1.0 / self.w0
+
+    @classmethod
+    def from_config(cls, config: VBHEMConfig, dim: int, dtype=jnp.float64):
+        w0 = config.w0
+        w0 = tuple(w0) if isinstance(w0, (tuple, list)) else (w0,) * dim
+        return cls(
+            alpha0=jnp.asarray(config.alpha0, dtype),
+            eta0=jnp.asarray(config.eta0, dtype),
+            epsilon0=jnp.asarray(config.epsilon0, dtype),
+            lambda0=jnp.asarray(config.lambda0, dtype),
+            v0=jnp.asarray(config.v0, dtype),
+            m0=jnp.asarray(config.default_m0(dim), dtype),
+            w0=jnp.asarray(w0, dtype),
+        )
+
+
+# ---------------------------------------------------------------------------
+# base bank construction (hmms_to_h3m_hem.m)
+# ---------------------------------------------------------------------------
+
+def h3m_from_results(results: Sequence[VBHMMResult], use_post: bool = True,
+                     s_max: Optional[int] = None,
+                     dtype=None) -> H3M:
+    """Convert learned VBHMMs into a dense padded base H3M.
+
+    With ``use_post`` (the reference default, `vbhem_h3m_cluster.m:210`),
+    point estimates are replaced by posterior expectations
+    (`hmms_to_h3m_hem.m:43-92`):
+      prior = exp(E[log pi]),  A = exp(E[log A])   (sub-normalized!)
+      cov   = ((beta + 1) / beta) * E[Sigma]
+    Padded states get zero prior/transition mass and identity covariance
+    (inert through the pair recursions).
+    """
+    import numpy as np
+    k_b = len(results)
+    dims = [np.asarray(r.post.niw.m).shape[-1] for r in results]
+    d = dims[0]
+    ss = [np.asarray(r.post.alpha).shape[-1] for r in results]
+    sm = s_max if s_max is not None else max(ss)
+    dt = dtype or np.asarray(results[0].post.niw.m).dtype
+
+    prior = np.zeros((k_b, sm), dt)
+    trans = np.zeros((k_b, sm, sm), dt)
+    mean = np.zeros((k_b, sm, d), dt)
+    cov = np.tile(np.eye(d, dtype=dt), (k_b, sm, 1, 1))
+    mask = np.zeros((k_b, sm), bool)
+
+    for i, r in enumerate(results):
+        s = ss[i]
+        mask[i, :s] = True
+        if use_post:
+            lp = np.asarray(e_log_dirichlet(r.post.alpha))
+            la = np.asarray(e_log_dirichlet(r.post.epsilon))
+            prior[i, :s] = np.exp(lp)
+            trans[i, :s, :s] = np.exp(la)
+            beta = np.asarray(r.post.niw.beta)
+            scale = (beta + 1.0) / beta
+            cov[i, :s] = np.asarray(r.post.niw.expected_cov()) * \
+                scale[:, None, None]
+        else:
+            prior[i, :s] = np.asarray(r.model.prior)
+            trans[i, :s, :s] = np.asarray(r.model.trans)
+            cov[i, :s] = np.asarray(r.model.cov)
+        mean[i, :s] = np.asarray(r.post.niw.m if use_post else r.model.mean)
+
+    omega = np.full((k_b,), 1.0 / k_b, dt)
+    hmm = HMM(prior=jnp.asarray(prior), trans=jnp.asarray(trans),
+              mean=jnp.asarray(mean), cov=jnp.asarray(cov))
+    return H3M(omega=jnp.asarray(omega), hmm=hmm, state_mask=jnp.asarray(mask))
+
+
+def h3m_from_hmms(hmms: Sequence[HMM], s_max: Optional[int] = None) -> H3M:
+    """Build a base H3M from plain point-estimate HMMs (testing / VHEM)."""
+    import numpy as np
+    k_b = len(hmms)
+    d = hmms[0].dim
+    ss = [h.num_states for h in hmms]
+    sm = s_max if s_max is not None else max(ss)
+    dt = np.asarray(hmms[0].mean).dtype
+    prior = np.zeros((k_b, sm), dt)
+    trans = np.zeros((k_b, sm, sm), dt)
+    mean = np.zeros((k_b, sm, d), dt)
+    cov = np.tile(np.eye(d, dtype=dt), (k_b, sm, 1, 1))
+    mask = np.zeros((k_b, sm), bool)
+    for i, h in enumerate(hmms):
+        s = ss[i]
+        mask[i, :s] = True
+        prior[i, :s] = np.asarray(h.prior)
+        trans[i, :s, :s] = np.asarray(h.trans)
+        mean[i, :s] = np.asarray(h.mean)
+        cov[i, :s] = np.asarray(h.cov)
+    omega = np.full((k_b,), 1.0 / k_b, dt)
+    return H3M(omega=jnp.asarray(omega),
+               hmm=HMM(prior=jnp.asarray(prior), trans=jnp.asarray(trans),
+                       mean=jnp.asarray(mean), cov=jnp.asarray(cov)),
+               state_mask=jnp.asarray(mask))
+
+
+# ---------------------------------------------------------------------------
+# E-step
+# ---------------------------------------------------------------------------
+
+class ReducedExpectations(NamedTuple):
+    log_omega: jnp.ndarray  # [Kr]      E[log omega]
+    log_pi: jnp.ndarray     # [Kr, Sr]  E[log pi]
+    log_a: jnp.ndarray      # [Kr, Sr, Sr]
+    log_lam: jnp.ndarray    # [Kr, Sr]  E[log |Lambda|]
+
+
+def reduced_expectations(post: H3MPosterior) -> ReducedExpectations:
+    """Digamma expectations of the reduced model
+    (`vbhem_h3m_c_step_fc.m:118-165, 270-273`)."""
+    return ReducedExpectations(
+        log_omega=e_log_dirichlet(post.alpha),
+        log_pi=e_log_dirichlet(post.eta),
+        log_a=e_log_dirichlet(post.epsilon),
+        log_lam=e_log_det_lambda(post.niw.v, post.niw.w))
+
+
+def e_step(base: H3M, post: H3MPosterior, exps: ReducedExpectations,
+           tau: int) -> PairStats:
+    """Pair E-step over the full [Kb, Kr] grid
+    (`vbhem_h3m_c_step_fc.m:168-268`)."""
+    ell = expected_pair_ll_variational(
+        base.hmm.mean, base.hmm.cov, post.niw.m, post.niw.w,
+        post.niw.v, post.niw.beta, exps.log_lam)
+    return pair_bwd_fwd(base.hmm.prior, base.hmm.trans,
+                        exps.log_pi, exps.log_a, ell, tau)
+
+
+def soft_assignments(tilde_n: jnp.ndarray, log_omega: jnp.ndarray,
+                     ll_elbo: jnp.ndarray):
+    """hat_Z softmax weighted by virtual counts
+    (`vbhem_h3m_c_step_fc.m:275-283`)."""
+    from ..utils.numeric import logsumexp
+    dtype = ll_elbo.dtype
+    log_z = tilde_n[:, None] * (log_omega[None, :] + ll_elbo)
+    hat_z = jnp.exp(log_z - logsumexp(log_z, axis=-1, keepdims=True))
+    hat_z = hat_z + tiny(dtype)
+    z_ni = hat_z * tilde_n[:, None]
+    nj = jnp.sum(z_ni, axis=0) + tiny(dtype)
+    return hat_z, z_ni, nj
+
+
+# ---------------------------------------------------------------------------
+# M-step (vbhem_compute_Statistics.m + vbhem_mstep_component.m)
+# ---------------------------------------------------------------------------
+
+class ClusterStats(NamedTuple):
+    nj: jnp.ndarray          # [Kr]
+    nj_rho1: jnp.ndarray     # [Kr, Sr]
+    nj_rho2rho: jnp.ndarray  # [Kr, Sr, Sr]
+    nj_rho: jnp.ndarray      # [Kr, Sr]
+    y_bar: jnp.ndarray       # [Kr, Sr, D]
+    s_plus_c: jnp.ndarray    # [Kr, Sr, D, D]
+
+
+def aggregate_stats(base: H3M, pair: PairStats, z_ni: jnp.ndarray,
+                    nj: jnp.ndarray) -> ClusterStats:
+    """Z-weighted reduction of pair statistics over the base axis.
+
+    The emission statistics are linear images of ``sum_t_nu`` against
+    cached base moments (`vbhem_hmm_bwd_fwd_fast.m:350-384` merged with
+    `vbhem_compute_Statistics.m:33-78`).  This reduction is a `psum`
+    when the Kb axis is sharded (pod configuration).
+    """
+    dtype = z_ni.dtype
+    mean_b, cov_b = base.hmm.mean, base.hmm.cov
+    nj_rho1 = jnp.einsum("ij,ijr->jr", z_ni, pair.nu_1)
+    nj_rho2rho = jnp.einsum("ij,ijrs->jrs", z_ni, pair.sum_xi)
+    # second moment cache: mu mu^T + Sigma per base state
+    m2_b = mean_b[..., :, None] * mean_b[..., None, :] + cov_b  # [Kb,Sb,D,D]
+    emit_pr = jnp.sum(pair.sum_t_nu, axis=-1)                   # [Kb,Kr,Sr]
+    nj_rho = jnp.einsum("ij,ijr->jr", z_ni, emit_pr) + tiny(dtype)
+    y_sum = jnp.einsum("ij,ijrb,ibd->jrd", z_ni, pair.sum_t_nu, mean_b)
+    m2_sum = jnp.einsum("ij,ijrb,ibde->jrde", z_ni, pair.sum_t_nu, m2_b)
+    y_bar = y_sum / nj_rho[..., None]
+    s_plus_c = sym(m2_sum / nj_rho[..., None, None]
+                   - y_bar[..., :, None] * y_bar[..., None, :])
+    sr = nj_rho1.shape[-1]
+    if sr == 1:
+        # degenerate transition counts (`vbhem_compute_Statistics.m:80-82`)
+        nj_rho2rho = jnp.full_like(nj_rho2rho, 1e-12)
+    return ClusterStats(nj=nj, nj_rho1=nj_rho1, nj_rho2rho=nj_rho2rho,
+                        nj_rho=nj_rho, y_bar=y_bar, s_plus_c=s_plus_c)
+
+
+def m_step(stats: ClusterStats, hyps: VBHEMHyps) -> H3MPosterior:
+    """Conjugate natural-parameter updates (`vbhem_mstep_component.m:42-72`
+    + the alpha update of `vbhem_h3m_c_step_fc.m:394-397`)."""
+    dtype = stats.y_bar.dtype
+    alpha = hyps.alpha0 + stats.nj
+    eta = hyps.eta0 + stats.nj_rho1
+    epsilon = hyps.epsilon0 + stats.nj_rho2rho
+    lam = hyps.lambda0 + stats.nj_rho
+    v = hyps.v0 + stats.nj_rho + 1.0
+    m = (hyps.lambda0 * hyps.m0 + stats.nj_rho[..., None] * stats.y_bar) \
+        / lam[..., None]
+    mult1 = hyps.lambda0 * stats.nj_rho / lam
+    diff3 = stats.y_bar - hyps.m0                              # [Kr,Sr,D]
+    w0inv = jnp.diag(hyps.w0inv_diag.astype(dtype))
+    winv = (w0inv + stats.nj_rho[..., None, None] * stats.s_plus_c
+            + mult1[..., None, None] * diff3[..., :, None] * diff3[..., None, :])
+    w = inv_psd(winv)
+    return H3MPosterior(alpha=alpha, eta=eta, epsilon=epsilon,
+                        niw=NIW(beta=lam, v=v, m=m, w=w))
+
+
+# ---------------------------------------------------------------------------
+# ELBO (vbhemh3m_lb.m)
+# ---------------------------------------------------------------------------
+
+def elbo(post: H3MPosterior, exps: ReducedExpectations, pair: PairStats,
+         hat_z: jnp.ndarray, z_ni: jnp.ndarray, nj: jnp.ndarray,
+         hyps: VBHEMHyps) -> jnp.ndarray:
+    """The 10-term VBHEM lower bound (`vbhemh3m_lb.m:88-186`)."""
+    dtype = hat_z.dtype
+    kr = post.num_clusters
+    sr = post.num_states
+    d = post.niw.dim
+    niw = post.niw
+    two_pi = jnp.asarray(2.0 * jnp.pi, dtype)
+
+    logdet_w0inv = jnp.sum(jnp.log(hyps.w0inv_diag))
+    log_c_alpha0 = gammaln(kr * hyps.alpha0) - kr * gammaln(hyps.alpha0)
+    log_c_eta0 = gammaln(sr * hyps.eta0) - sr * gammaln(hyps.eta0)
+    log_c_eps0 = gammaln(sr * hyps.epsilon0) - sr * gammaln(hyps.epsilon0)
+    log_b0 = log_wishart_b(logdet_w0inv, hyps.v0, d)
+
+    lt1 = jnp.sum(z_ni * pair.ll_elbo)
+    lt2 = jnp.sum(nj * exps.log_omega)
+    lt3 = kr * log_c_eta0 + (hyps.eta0 - 1.0) * jnp.sum(exps.log_pi)
+    lt4 = kr * sr * log_c_eps0 + (hyps.epsilon0 - 1.0) * jnp.sum(exps.log_a)
+
+    # Lt5: E[log p(mu, Lambda)] over all (j, k)
+    dm = niw.m - hyps.m0                                       # [Kr,Sr,D]
+    m_w_m = jnp.einsum("jrd,jrde,jre->jr", dm, niw.w, dm)
+    w0inv_diag = hyps.w0inv_diag.astype(dtype)
+    tr_w0inv_w = jnp.einsum("d,jrdd->jr", w0inv_diag, niw.w)
+    const2 = d * jnp.log(hyps.lambda0 / two_pi)
+    lt51 = 0.5 * jnp.sum(const2 + exps.log_lam - d * hyps.lambda0 / niw.beta
+                         - hyps.lambda0 * niw.v * m_w_m)
+    lt52 = (kr * sr * log_b0
+            + 0.5 * (hyps.v0 - d - 1.0) * jnp.sum(exps.log_lam)
+            - 0.5 * jnp.sum(niw.v * tr_w0inv_w))
+    lt5 = lt51 + lt52
+
+    lt6 = log_c_alpha0 + (hyps.alpha0 - 1.0) * jnp.sum(exps.log_omega)
+    lt7 = jnp.sum(hat_z * jnp.log(hat_z))
+    lt8 = log_dirichlet_const(post.alpha) \
+        + jnp.sum((post.alpha - 1.0) * exps.log_omega)
+    lt9 = (jnp.sum(log_dirichlet_const(post.eta))
+           + jnp.sum((post.eta - 1.0) * exps.log_pi)
+           + jnp.sum(log_dirichlet_const(post.epsilon))
+           + jnp.sum((post.epsilon - 1.0) * exps.log_a))
+
+    log_bk = log_wishart_b(-logdet_psd(niw.w), niw.v, d)       # [Kr,Sr]
+    h_ent = jnp.sum(-log_bk - 0.5 * (niw.v - d - 1.0) * exps.log_lam
+                    + 0.5 * niw.v * d)
+    lt10 = 0.5 * jnp.sum(exps.log_lam + d * jnp.log(niw.beta / two_pi)) \
+        - 0.5 * d * kr * sr - h_ent
+
+    return lt1 + lt2 + lt3 + lt4 + lt5 + lt6 - lt7 - lt8 - lt9 - lt10
+
+
+# ---------------------------------------------------------------------------
+# EM loop (vbhem_h3m_c_step_fc.m)
+# ---------------------------------------------------------------------------
+
+class VBHEMState(NamedTuple):
+    post: H3MPosterior
+    ll: jnp.ndarray
+    last_ll: jnp.ndarray
+    it: jnp.ndarray
+    hat_z: jnp.ndarray       # [Kb, Kr]
+    ll_elbo: jnp.ndarray     # [Kb, Kr]
+    stats: ClusterStats
+    done: jnp.ndarray
+
+
+def vbhem_em(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
+             nv: int, tau: int, max_iter: int = 200,
+             min_diff: float = 1e-5) -> VBHEMState:
+    """The VBHEM EM loop, mirroring `vbhem_h3m_c_step_fc.m:115-433`.
+
+    Virtual counts: tilde_N_i = Nv * Kb * omega_i (`:26-30`).  Control
+    flow matches the reference: {expectations, pair E-step, hat_Z, ELBO,
+    convergence check, M-step}, with the M-step applied on the
+    converging iteration and NaN -> -inf instability handling.
+    """
+    dtype = base.hmm.mean.dtype
+    kb = base.num_hmms
+    tilde_n = (nv * kb) * base.omega
+    big_neg = jnp.asarray(-jnp.finfo(dtype).max, dtype)
+
+    def body(st: VBHEMState) -> VBHEMState:
+        exps = reduced_expectations(st.post)
+        pair = e_step(base, st.post, exps, tau)
+        hat_z, z_ni, nj = soft_assignments(tilde_n, exps.log_omega,
+                                           pair.ll_elbo)
+        ll = elbo(st.post, exps, pair, hat_z, z_ni, nj, hyps)
+        unstable = jnp.isnan(ll)
+        ll = jnp.where(unstable, -jnp.inf, ll)
+        lik_incr = jnp.abs((ll - st.ll) / st.ll)
+        converged = jnp.logical_and(st.it > 0, lik_incr <= min_diff)
+        done = converged | unstable | (st.it + 1 >= max_iter)
+        stats = aggregate_stats(base, pair, z_ni, nj)
+        new_post = m_step(stats, hyps)
+        new_post = jax.tree.map(
+            lambda new, old: jnp.where(unstable, old, new), new_post, st.post)
+        return VBHEMState(post=new_post, ll=ll, last_ll=st.ll, it=st.it + 1,
+                          hat_z=hat_z, ll_elbo=pair.ll_elbo, stats=stats,
+                          done=done)
+
+    kr, sr = init_post.num_clusters, init_post.num_states
+    d = init_post.niw.dim
+    st0 = VBHEMState(
+        post=init_post, ll=big_neg, last_ll=big_neg, it=jnp.asarray(0),
+        hat_z=jnp.zeros((kb, kr), dtype), ll_elbo=jnp.zeros((kb, kr), dtype),
+        stats=ClusterStats(
+            nj=jnp.zeros((kr,), dtype), nj_rho1=jnp.zeros((kr, sr), dtype),
+            nj_rho2rho=jnp.zeros((kr, sr, sr), dtype),
+            nj_rho=jnp.zeros((kr, sr), dtype),
+            y_bar=jnp.zeros((kr, sr, d), dtype),
+            s_plus_c=jnp.zeros((kr, sr, d, d), dtype)),
+        done=jnp.asarray(False))
+    return jax.lax.while_loop(lambda st: ~st.done, body, st0)
+
+
+# ---------------------------------------------------------------------------
+# initializers (vbhemhmm_init.m)
+# ---------------------------------------------------------------------------
+
+def _emission_w_from_cov(cov: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """W = inv((v - D - 1) * Sigma) (`vbhemhmm_init.m:86`)."""
+    d = cov.shape[-1]
+    return inv_psd((v[..., None, None] - d - 1.0) * cov)
+
+
+def init_baseem(key: jax.Array, base: H3M, kr: int, sr: int,
+                hyps: VBHEMHyps, nv: int) -> H3MPosterior:
+    """'baseem' initializer (`vbhemhmm_init.m:58-100`): each reduced
+    emission copies a random base emission; priors/transitions uniform
+    (initopt mode 'u'); cluster weights random."""
+    dtype = base.hmm.mean.dtype
+    kb, sb_max = base.state_mask.shape
+    nv_total = nv * kb
+    nlr = nv_total / kr
+
+    k_b, k_g, k_w = jax.random.split(key, 3)
+    rand_b = jax.random.randint(k_b, (kr, sr), 0, kb)
+    # random valid state of the chosen base HMM
+    n_states = jnp.sum(base.state_mask, axis=-1)               # [Kb]
+    u = jax.random.uniform(k_g, (kr, sr))
+    rand_g = jnp.floor(u * n_states[rand_b]).astype(jnp.int32)
+    rand_g = jnp.minimum(rand_g, sb_max - 1)
+
+    v = jnp.full((kr, sr), hyps.v0 + nlr / sr + 1.0, dtype)
+    lam = jnp.full((kr, sr), hyps.lambda0 + nlr / sr, dtype)
+    m = base.hmm.mean[rand_b, rand_g]                          # [Kr,Sr,D]
+    w = _emission_w_from_cov(base.hmm.cov[rand_b, rand_g], v)
+
+    eta = jnp.full((kr, sr), 1.0 / sr, dtype) * nlr + hyps.eta0
+    epsilon = jnp.full((kr, sr, sr), 1.0 / sr, dtype) * nlr / sr \
+        + hyps.epsilon0
+    omega = jax.random.uniform(k_w, (kr,), dtype)
+    omega = omega / jnp.sum(omega)
+    alpha = hyps.alpha0 + omega * nv_total
+    return H3MPosterior(alpha=alpha, eta=eta, epsilon=epsilon,
+                        niw=NIW(beta=lam, v=v, m=m, w=w))
+
+
+def init_wtkmeans(key: jax.Array, base: H3M, kr: int, sr: int,
+                  hyps: VBHEMHyps, nv: int) -> H3MPosterior:
+    """'wtkmeans' initializer (`vbhemhmm_init.m:294-425`): weighted
+    k-means of base emission means into Kr clusters (weights = long-run
+    state probabilities, makeGMMweights mode '0'), then k-means into Sr
+    states per cluster; random priors/transitions (initopt mode 'r')."""
+    dtype = base.hmm.mean.dtype
+    kb, sb_max = base.state_mask.shape
+    d = base.hmm.mean.shape[-1]
+    nj_virt = nv * kb / kr
+
+    # long-run state weights: p A^50 per base HMM (makeGMMweights '0')
+    def powiter(p_a):
+        p, a = p_a
+        return jax.lax.fori_loop(0, 50, lambda _, q: q @ a, p)
+    p_inf = jax.vmap(powiter)((base.hmm.prior, base.hmm.trans))  # [Kb,Sb]
+    weights = (p_inf * base.state_mask).reshape(-1)
+    weights = weights / jnp.sum(weights)
+    means_flat = base.hmm.mean.reshape(kb * sb_max, d)
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    assign, _ = kmeans(k1, means_flat, kr, weights=weights)
+
+    # per-cluster k-means into Sr centers; empty clusters fall back to the
+    # global centers (reference copies the first nonempty cluster).
+    _, global_centers = kmeans(k3, means_flat, sr, weights=weights)
+
+    def per_cluster(j, key_j):
+        in_c = (assign == j) & (weights > 0)
+        w_c = jnp.where(in_c, weights, 0.0)
+        has = jnp.sum(w_c) > 0
+        _, centers = kmeans(key_j, means_flat, sr,
+                            weights=jnp.where(has, w_c, weights))
+        return jnp.where(has, centers, global_centers)
+
+    keys = jax.random.split(k2, kr)
+    centers = jax.vmap(per_cluster)(jnp.arange(kr), keys)      # [Kr,Sr,D]
+
+    v = jnp.full((kr, sr), hyps.v0 + nj_virt / sr + 1.0, dtype)
+    lam = jnp.full((kr, sr), hyps.lambda0 + nj_virt / sr, dtype)
+    cov_ref = base.hmm.cov[0, 0]                               # first base cov
+    w = _emission_w_from_cov(jnp.broadcast_to(cov_ref, (kr, sr, d, d)), v)
+
+    kp, ka = jax.random.split(k4)
+    prior = jax.random.uniform(kp, (kr, sr), dtype)
+    prior = prior / jnp.sum(prior, -1, keepdims=True)
+    a = jax.random.uniform(ka, (kr, sr, sr), dtype)
+    a = a / jnp.sum(a, -1, keepdims=True)
+    eta = prior * nj_virt + hyps.eta0
+    epsilon = a * nj_virt + hyps.epsilon0
+    alpha = hyps.alpha0 + jnp.full((kr,), nj_virt, dtype)
+    return H3MPosterior(alpha=alpha, eta=eta, epsilon=epsilon,
+                        niw=NIW(beta=lam, v=v, m=centers, w=w))
+
+
+def init_random(key: jax.Array, base: H3M, kr: int, sr: int,
+                hyps: VBHEMHyps, nv: int) -> H3MPosterior:
+    """'random' initializer (`vbhemhmm_init.m:874-1038`, simplified):
+    random partition of base HMMs into clusters, per-cluster k-means of
+    member emission means."""
+    dtype = base.hmm.mean.dtype
+    kb, sb_max = base.state_mask.shape
+    d = base.hmm.mean.shape[-1]
+    nj_virt = nv * kb / kr
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    labels = jax.random.randint(k1, (kb,), 0, kr)
+    means_flat = base.hmm.mean.reshape(kb * sb_max, d)
+    base_of = jnp.repeat(jnp.arange(kb), sb_max)
+    valid = base.state_mask.reshape(-1)
+    _, global_centers = kmeans(k3, means_flat, sr,
+                               weights=valid.astype(dtype))
+
+    def per_cluster(j, key_j):
+        w_c = ((labels[base_of] == j) & valid).astype(dtype)
+        has = jnp.sum(w_c) > 0
+        _, centers = kmeans(key_j, means_flat, sr,
+                            weights=jnp.where(has, w_c, valid.astype(dtype)))
+        return jnp.where(has, centers, global_centers)
+
+    keys = jax.random.split(k2, kr)
+    centers = jax.vmap(per_cluster)(jnp.arange(kr), keys)
+
+    v = jnp.full((kr, sr), hyps.v0 + nj_virt / sr + 1.0, dtype)
+    lam = jnp.full((kr, sr), hyps.lambda0 + nj_virt / sr, dtype)
+    cov_ref = base.hmm.cov[0, 0]
+    w = _emission_w_from_cov(jnp.broadcast_to(cov_ref, (kr, sr, d, d)), v)
+    eta = jnp.full((kr, sr), nj_virt / sr, dtype) + hyps.eta0
+    epsilon = jnp.full((kr, sr, sr), nj_virt / sr, dtype) + hyps.epsilon0
+    alpha = hyps.alpha0 + jnp.full((kr,), nj_virt, dtype)
+    return H3MPosterior(alpha=alpha, eta=eta, epsilon=epsilon,
+                        niw=NIW(beta=lam, v=v, m=centers, w=w))
+
+
+_INITIALIZERS = {
+    "baseem": init_baseem,
+    "wtkmeans": init_wtkmeans,
+    "random": init_random,
+}
+
+
+# ---------------------------------------------------------------------------
+# trials + (K,S) sweep (vbhem_h3m_c.m / vbhem_h3m_cluster.m)
+# ---------------------------------------------------------------------------
+
+class VBHEMResult(NamedTuple):
+    """Final packaged model (`form_outputH3M.m`)."""
+    post: H3MPosterior
+    h3m: H3M                # point-estimate form
+    ll: jnp.ndarray
+    hat_z: jnp.ndarray      # [Kb, Kr]
+    ll_elbo: jnp.ndarray    # [Kb, Kr]
+    nj: jnp.ndarray         # [Kr]
+    label: jnp.ndarray      # [Kb] hard assignments
+    counts_n1: jnp.ndarray  # [Kr, Sr]
+    counts: jnp.ndarray     # [Kr, Sr]
+    trans_counts: jnp.ndarray  # [Kr, Sr, Sr]
+
+    @property
+    def groups(self):
+        import numpy as np
+        lab = np.asarray(self.label)
+        return [list(np.where(lab == j)[0]) for j in range(self.nj.shape[-1])]
+
+
+def finalize(st: VBHEMState) -> VBHEMResult:
+    return VBHEMResult(
+        post=st.post, h3m=st.post.to_h3m(), ll=st.ll, hat_z=st.hat_z,
+        ll_elbo=st.ll_elbo, nj=st.stats.nj,
+        label=jnp.argmax(st.hat_z, axis=-1),
+        counts_n1=st.stats.nj_rho1, counts=st.stats.nj_rho,
+        trans_counts=st.stats.nj_rho2rho)
+
+
+def fit_single_ks(key: jax.Array, base: H3M, kr: int, sr: int,
+                  config: VBHEMConfig,
+                  hyps: Optional[VBHEMHyps] = None,
+                  initmode: Optional[str] = None) -> VBHEMState:
+    """Vmapped random restarts for one (K, S) cell (`vbhem_h3m_c.m:28-76`).
+    Returns the batched VBHEMState over trials (best selected by caller)."""
+    dtype = base.hmm.mean.dtype
+    if hyps is None:
+        hyps = VBHEMHyps.from_config(config, base.hmm.mean.shape[-1], dtype)
+    mode = initmode or config.initmode
+    if mode == "auto":
+        mode = "baseem"  # auto tries several; single best default here
+    init_fn = _INITIALIZERS[mode]
+
+    def one_trial(trial_key):
+        post0 = init_fn(trial_key, base, kr, sr, hyps, config.nv)
+        return vbhem_em(base, post0, hyps, nv=config.nv, tau=config.tau,
+                        max_iter=config.max_iter, min_diff=config.min_diff)
+
+    keys = jax.random.split(key, config.trials)
+    return jax.vmap(one_trial)(keys)
+
+
+def select_best_trial(states: VBHEMState) -> VBHEMState:
+    best = jnp.argmax(states.ll)
+    return jax.tree.map(lambda a: a[best], states)
+
+
+def cluster(key: jax.Array, base: H3M, k, s,
+            config: VBHEMConfig = VBHEMConfig(),
+            hyps: Optional[VBHEMHyps] = None):
+    """(K, S) model-selection sweep (`vbhem_h3m_cluster.m:253-354`).
+
+    ``k``/``s`` may be ints or sequences.  Grid cells are scored by
+    ``LL + gammaln(K+1) + gammaln(S+1)`` — the multiple-parameterization
+    corrections applied at `:280` and `:334`.  'auto' initmode tries
+    {baseem, wtkmeans, random} per cell and keeps the best
+    (`vbhem_h3m_cluster.m:363-399` tries {baseem, gmmNew, wtkmeans}).
+    Returns (VBHEMResult, info dict).
+    """
+    import numpy as np
+    ks = list(k) if isinstance(k, (list, tuple, range)) else [int(k)]
+    ss = list(s) if isinstance(s, (list, tuple, range)) else [int(s)]
+    modes = (["baseem", "wtkmeans", "random"] if config.initmode == "auto"
+             else [config.initmode])
+
+    results = {}
+    scores = np.full((len(ks), len(ss)), -np.inf)
+    for ki, kk in enumerate(ks):
+        for si, sv in enumerate(ss):
+            cell_key = jax.random.fold_in(jax.random.fold_in(key, ki), si)
+            best_st, best_ll = None, -np.inf
+            for mi, mode in enumerate(modes):
+                st = select_best_trial(fit_single_ks(
+                    jax.random.fold_in(cell_key, mi), base, kk, sv,
+                    config, hyps, initmode=mode))
+                if float(st.ll) > best_ll:
+                    best_st, best_ll = st, float(st.ll)
+            results[(kk, sv)] = finalize(best_st)
+            scores[ki, si] = best_ll + float(gammaln(kk + 1)) \
+                + float(gammaln(sv + 1))
+
+    bi = np.unravel_index(np.argmax(scores), scores.shape)
+    best_k, best_s = ks[bi[0]], ss[bi[1]]
+    info = {"model_ll": scores, "model_k": ks, "model_s": ss,
+            "model_best_k": best_k, "model_best_s": best_s,
+            "model_all": results}
+    return results[(best_k, best_s)], info
+
+
+def remove_empty_clusters(res: VBHEMResult, cluster_thresh: float = 1.0,
+                          state_thresh: float = 1e-3) -> VBHEMResult:
+    """Post-hoc pruning (`vbh3m_remove_empty.m`): drop clusters with
+    Nj < cluster_thresh, renormalize, relabel.  (Per-cluster state
+    pruning produces ragged shapes; states with count < state_thresh are
+    reported via ``counts`` and dropped when converting to HMM lists.)"""
+    import numpy as np
+    nj = np.asarray(res.nj)
+    keep = np.where(nj >= cluster_thresh)[0]
+    if len(keep) == len(nj):
+        return res
+    perm = jnp.asarray(keep)
+    post = H3MPosterior(
+        alpha=res.post.alpha[perm], eta=res.post.eta[perm],
+        epsilon=res.post.epsilon[perm],
+        niw=NIW(beta=res.post.niw.beta[perm], v=res.post.niw.v[perm],
+                m=res.post.niw.m[perm], w=res.post.niw.w[perm]))
+    hat_z = res.hat_z[:, perm]
+    hat_z = hat_z / jnp.sum(hat_z, axis=-1, keepdims=True)
+    return VBHEMResult(
+        post=post, h3m=post.to_h3m(), ll=res.ll, hat_z=hat_z,
+        ll_elbo=res.ll_elbo[:, perm], nj=res.nj[perm],
+        label=jnp.argmax(hat_z, axis=-1),
+        counts_n1=res.counts_n1[perm], counts=res.counts[perm],
+        trans_counts=res.trans_counts[perm])

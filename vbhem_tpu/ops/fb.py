@@ -1,0 +1,131 @@
+"""Masked, batched scaled forward-backward for the VBEM E-step.
+
+TPU-native replacement for the reference's C MEX kernel
+`src/hmm/vbhmm_fb_mex.c` (I/O contract at :6-25) and its MATLAB mirror
+`src/hmm/vbhmm_fb.m:201-379`.  Instead of looping sequences in C, the
+whole batch advances together: the scan carries ``alpha_hat`` of shape
+[N, K], so each time step is one [N,K]x[K,K] matmul that XLA maps onto
+the MXU, and the T-loop is a single fused `lax.scan`.
+
+Numerical conventions copied from the reference (required for ELBO
+parity):
+  * emissions are rescaled per time step by ``max_k logrho``
+    (`vbhmm_fb.m:289-291`), and that shift is added back into the
+    per-sequence log-normalizer ``phi_norm`` (`vbhmm_fb.m:377`);
+  * the forward recursion is renormalized by ``c_t = sum_k Delta_t``
+    (`vbhmm_fb.m:299-323`);
+  * the initial/transition scores are ``exp`` of digamma expectations
+    (sub-normalized), per Bishop's VBHMM (`vbhmm_fb.m:121-122`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..containers import NIW
+
+
+class FBStats(NamedTuple):
+    """E-step outputs, mirroring `vbhmm_fb.m:383-389`."""
+    log_rho: jnp.ndarray    # [N, T, K] expected log emission (masked entries = 0)
+    gamma: jnp.ndarray      # [N, T, K] responsibilities (masked entries = 0)
+    xi_sum: jnp.ndarray     # [N, K, K] summed transition responsibilities
+    phi_norm: jnp.ndarray   # [N] per-sequence log normalizer of q(Z)
+
+
+def expected_log_gauss(x: jnp.ndarray, niw: NIW) -> jnp.ndarray:
+    """Expected log Gaussian density under the NIW posterior.
+
+    Bishop (10.46)/(10.64), as in `vbhmm_fb.m:234-257`:
+        delta[k] = D/beta_k + v_k (x - m_k)^T W_k (x - m_k)
+        logrho[k] = 0.5 E[log|Lambda_k|] - 0.5 delta[k] - (D/2) log(2 pi)
+
+    x: [N, T, D] -> [N, T, K].
+    """
+    from ..utils.numeric import e_log_det_lambda
+    d = x.shape[-1]
+    diff = x[:, :, None, :] - niw.m[None, None, :, :]           # [N,T,K,D]
+    quad = jnp.einsum("ntkd,kde,ntke->ntk", diff, niw.w, diff)
+    delta = d / niw.beta[None, None, :] + niw.v[None, None, :] * quad
+    log_lam = e_log_det_lambda(niw.v, niw.w)                    # [K]
+    cd = 0.5 * d * jnp.log(jnp.asarray(2.0 * jnp.pi, x.dtype))
+    return 0.5 * log_lam[None, None, :] - 0.5 * delta - cd
+
+
+def forward_backward(log_pz1: jnp.ndarray, log_trans: jnp.ndarray,
+                     log_rho: jnp.ndarray, mask: jnp.ndarray) -> FBStats:
+    """Scaled FB over a padded batch.
+
+    log_pz1:   [K]    digamma expectation E[log pi] (NOT normalized)
+    log_trans: [K, K] digamma expectation E[log A], row format
+    log_rho:   [N, T, K] expected log emissions
+    mask:      [N, T] bool, True for real observations.  Every sequence
+               must have mask[:, 0] == True (T >= 1).
+    """
+    n, t_max, k = log_rho.shape
+    dtype = log_rho.dtype
+
+    pz1 = jnp.exp(log_pz1)          # sub-normalized prior scores
+    trans = jnp.exp(log_trans)      # sub-normalized transition scores
+
+    # Per-step emission rescale by the max over states (vbhmm_fb.m:289-291).
+    max_rho = jnp.max(log_rho, axis=-1)                        # [N, T]
+    px = jnp.exp(log_rho - max_rho[..., None])                 # [N, T, K]
+    maskf = mask.astype(dtype)
+
+    # ---- forward: alpha_hat_t = normalize((alpha_{t-1} @ A) * px_t) ----
+    delta0 = pz1[None, :] * px[:, 0, :]
+    c0 = jnp.sum(delta0, axis=-1)                              # [N]
+    alpha0 = delta0 / c0[:, None]
+
+    def fwd_step(alpha_prev, inp):
+        px_t, valid = inp                                      # [N,K], [N]
+        delta = (alpha_prev @ trans) * px_t
+        c = jnp.sum(delta, axis=-1)
+        c_safe = jnp.where(c > 0, c, 1.0)
+        alpha_new = delta / c_safe[:, None]
+        # Padded steps: carry alpha through unchanged, c contributes log 1.
+        alpha_out = jnp.where(valid[:, None], alpha_new, alpha_prev)
+        c_out = jnp.where(valid, c_safe, 1.0)
+        return alpha_out, (alpha_out, c_out)
+
+    xs = (jnp.moveaxis(px[:, 1:], 1, 0), jnp.moveaxis(mask[:, 1:], 1, 0))
+    _, (alpha_rest, c_rest) = jax.lax.scan(fwd_step, alpha0, xs)
+    alpha = jnp.concatenate([alpha0[None], alpha_rest], axis=0)  # [T, N, K]
+    c = jnp.concatenate([c0[None], c_rest], axis=0)              # [T, N]
+
+    # ---- backward: beta, gamma, xi (vbhmm_fb.m:325-362) ----
+    beta_last = jnp.ones((n, k), dtype=dtype)
+
+    def bwd_step(beta_next, inp):
+        # processes position t given (beta_{t+1}, px_{t+1}, c_{t+1}, valid_{t+1})
+        px_next, c_next, valid_next, alpha_t = inp
+        bp = beta_next * px_next                               # [N, K]
+        eta = bp @ trans.T
+        beta_t = eta / c_next[:, None]
+        beta_t = jnp.where(valid_next[:, None], beta_t, jnp.ones_like(beta_t))
+        xi_t = (trans[None] * (alpha_t[:, :, None] * bp[:, None, :])
+                / c_next[:, None, None])
+        xi_t = jnp.where(valid_next[:, None, None], xi_t, 0.0)
+        return beta_t, (beta_t, xi_t)
+
+    xs_b = (jnp.moveaxis(px[:, 1:], 1, 0), c[1:],
+            jnp.moveaxis(mask[:, 1:], 1, 0), alpha[:-1])
+    _, (beta_rest, xi_all) = jax.lax.scan(bwd_step, beta_last, xs_b,
+                                          reverse=True)
+    beta = jnp.concatenate([beta_rest, beta_last[None]], axis=0)  # [T, N, K]
+    # beta at position T_n-1 (last valid) must be ones: positions whose
+    # successor is invalid got ones from the where above.  Position T_max-1
+    # is ones by construction.
+
+    gamma = alpha * beta                                       # [T, N, K]
+    gamma = jnp.moveaxis(gamma, 0, 1) * maskf[..., None]       # [N, T, K]
+    xi_sum = jnp.sum(jnp.moveaxis(xi_all, 0, 1), axis=1)       # [N, K, K]
+
+    log_c = jnp.where(mask, jnp.log(jnp.moveaxis(c, 0, 1)), 0.0)
+    phi_norm = jnp.sum(log_c, axis=-1) + jnp.sum(max_rho * maskf, axis=-1)
+
+    return FBStats(log_rho=log_rho * maskf[..., None], gamma=gamma,
+                   xi_sum=xi_sum, phi_norm=phi_norm)

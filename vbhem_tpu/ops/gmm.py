@@ -1,0 +1,98 @@
+"""Key-driven GMM fitting, used to initialize VBEM (and by the VHEM /
+VBHEM `gmmNew` initializers).
+
+Replaces MATLAB's `gmdistribution.fit(..., 'Start', 'randSample')` used
+by `src/hmm/vbhmm_init.m:59-60` and the Netlab-style fallback
+`src/compare_mtds/hem/gmm/gmm.m`.  Same initialization convention:
+means are K distinct random data points, all components start from the
+pooled data covariance with uniform weights, then EM runs to a relative
+log-likelihood tolerance of 1e-5.
+
+Fully jittable: fixed-shape EM with a `lax.while_loop`, deterministic
+under a PRNG key (the reference makes seeds mandatory for exactly this
+reproducibility, `vbhmm_learn.m:343-345`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.numeric import logsumexp, sym
+
+
+class GMM(NamedTuple):
+    weight: jnp.ndarray  # [K]
+    mean: jnp.ndarray    # [K, D]
+    cov: jnp.ndarray     # [K, D, D]
+
+
+def _log_gauss(x: jnp.ndarray, mean: jnp.ndarray, cov: jnp.ndarray) -> jnp.ndarray:
+    """log N(x | mean, cov): x [M, D], mean [K, D], cov [K, D, D] -> [M, K]."""
+    from ..utils.numeric import inv_psd, logdet_psd
+    d = x.shape[-1]
+    prec = inv_psd(cov)                                             # [K, D, D]
+    diff = x[:, None, :] - mean[None, :, :]                         # [M, K, D]
+    quad = jnp.einsum("mkd,kde,mke->mk", diff, prec, diff)
+    logdet = logdet_psd(cov)
+    return -0.5 * (quad + logdet + d * jnp.log(jnp.asarray(2 * jnp.pi, x.dtype)))
+
+
+def fit_gmm(key: jax.Array, x: jnp.ndarray, k: int,
+            weights: jnp.ndarray | None = None,
+            max_iter: int = 100, tol: float = 1e-5,
+            reg: float = 1e-6) -> GMM:
+    """EM fit of a K-component full-covariance GMM on x [M, D].
+
+    ``weights`` optionally weights each point (used by the weighted
+    initializers); defaults to 1.  ``reg`` is a relative ridge added to
+    covariances (the reference regularizes with 1e-10 on its fallback
+    path, `vbhmm_init.m:68`; we always regularize slightly since there
+    is no try/catch under jit).
+    """
+    m, d = x.shape
+    dtype = x.dtype
+    w_pt = jnp.ones((m,), dtype) if weights is None else weights.astype(dtype)
+    w_sum = jnp.sum(w_pt)
+
+    # randSample start: K distinct random points as means.
+    perm = jax.random.permutation(key, m)
+    mean0 = x[perm[:k]]
+    xm = jnp.sum(w_pt[:, None] * x, 0) / w_sum
+    xc = x - xm
+    data_cov = (xc.T * w_pt) @ xc / w_sum
+    scale = jnp.trace(data_cov) / d
+    ridge = (reg * scale + 1e-30) * jnp.eye(d, dtype=dtype)
+    cov0 = jnp.broadcast_to(data_cov + ridge, (k, d, d))
+    weight0 = jnp.full((k,), 1.0 / k, dtype)
+
+    def e_step(g: GMM):
+        lp = _log_gauss(x, g.mean, g.cov) + jnp.log(g.weight)[None]  # [M, K]
+        norm = logsumexp(lp, axis=-1)
+        resp = jnp.exp(lp - norm[:, None]) * w_pt[:, None]
+        ll = jnp.sum(norm * w_pt)
+        return resp, ll
+
+    def m_step(resp) -> GMM:
+        nk = jnp.sum(resp, 0) + 1e-30
+        mean = (resp.T @ x) / nk[:, None]
+        m2 = jnp.einsum("mk,md,me->kde", resp, x, x) / nk[:, None, None]
+        cov = sym(m2 - mean[:, :, None] * mean[:, None, :]) + ridge
+        return GMM(weight=nk / jnp.sum(nk), mean=mean, cov=cov)
+
+    def cond(carry):
+        g, ll, last_ll, it = carry
+        not_conv = jnp.abs((ll - last_ll) / jnp.where(last_ll == 0, 1.0, last_ll)) > tol
+        return jnp.logical_and(it < max_iter,
+                               jnp.logical_or(it < 2, not_conv))
+
+    def body(carry):
+        g, ll, last_ll, it = carry
+        resp, new_ll = e_step(g)
+        return m_step(resp), new_ll, ll, it + 1
+
+    big = jnp.asarray(-jnp.finfo(dtype).max, dtype)
+    init = (GMM(weight0, mean0, cov0), big, big, jnp.asarray(0))
+    g, ll, _, _ = jax.lax.while_loop(cond, body, init)
+    return g
