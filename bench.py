@@ -1,0 +1,95 @@
+"""Benchmark: VBHEM E-step/EM throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "vbhem_pair_updates_per_sec", "value": N, "unit": "pairs/s",
+   "vs_baseline": R}
+
+The metric is the driver-defined north star (BASELINE.md): (base i,
+reduced j) pair updates per second through the full VBHEM EM iteration
+(pair E-step backward+forward recursions over tau virtual steps, soft
+assignments, conjugate M-step, ELBO).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so
+the baseline is the target from BASELINE.json — 50x a single-core C-MEX
+implementation.  We estimate the MEX at ~2e4 pair-updates/s at this
+problem size (tau=10, Sb=Sr=3: ~60 logsumexp rows + ~1k flops per
+step, measured-order-of-magnitude for a scalar C loop), making the
+baseline 1e6 pairs/s.  vs_baseline = value / 1e6.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_PAIRS_PER_SEC = 1.0e6  # 50x estimated single-core C-MEX
+
+
+def make_problem(key, kb=512, sb=3, kr=8, sr=3, d=2, dtype=jnp.float32):
+    from vbhem_tpu.containers import H3M, HMM
+    from vbhem_tpu.models import vbhem
+    from vbhem_tpu.config import VBHEMConfig
+
+    ks = jax.random.split(key, 6)
+    mean = jax.random.normal(ks[0], (kb, sb, d), dtype) * 3.0
+    a = jax.random.normal(ks[1], (kb, sb, d, d), dtype) * 0.3
+    cov = jnp.einsum("ksde,ksfe->ksdf", a, a) + jnp.eye(d, dtype=dtype)
+    prior = jax.random.dirichlet(ks[2], jnp.ones((sb,)), (kb,)).astype(dtype)
+    trans = jax.random.dirichlet(ks[3], jnp.ones((sb,)), (kb, sb)).astype(dtype)
+    base = H3M(omega=jnp.full((kb,), 1.0 / kb, dtype),
+               hmm=HMM(prior=prior, trans=trans, mean=mean, cov=cov),
+               state_mask=jnp.ones((kb, sb), bool))
+    cfg = VBHEMConfig(m0=(0.0,) * d, w0=1.0, nv=100, tau=10)
+    hyps = vbhem.VBHEMHyps.from_config(cfg, d, dtype)
+    post = vbhem.init_baseem(ks[4], base, kr, sr, hyps, cfg.nv)
+    return base, post, hyps, cfg
+
+
+def main():
+    kb, kr, tau, n_iters = 512, 8, 10, 20
+    from vbhem_tpu.models import vbhem
+
+    base, post, hyps, cfg = make_problem(jax.random.key(0), kb=kb, kr=kr)
+    tilde_n = (cfg.nv * kb) * base.omega
+
+    def em_iter(post, _):
+        exps = vbhem.reduced_expectations(post)
+        pair = vbhem.e_step(base, post, exps, tau)
+        hat_z, z_ni, nj = vbhem.soft_assignments(tilde_n, exps.log_omega,
+                                                 pair.ll_elbo)
+        ll = vbhem.elbo(post, exps, pair, hat_z, z_ni, nj, hyps)
+        stats = vbhem.aggregate_stats(base, pair, z_ni, nj)
+        return vbhem.m_step(stats, hyps), ll
+
+    @jax.jit
+    def run(post):
+        post, lls = jax.lax.scan(em_iter, post, None, length=n_iters)
+        return post, lls
+
+    # compile + warmup
+    out = run(post)
+    jax.block_until_ready(out)
+    # timed
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = run(post)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    pairs_per_sec = kb * kr * n_iters / dt
+    print(json.dumps({
+        "metric": "vbhem_pair_updates_per_sec",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+    }))
+    # diagnostics to stderr (driver reads only stdout JSON)
+    print(f"# device={jax.devices()[0].platform} Kb={kb} Kr={kr} tau={tau} "
+          f"iters={n_iters} dt/iter={dt / n_iters * 1e3:.2f}ms "
+          f"final_elbo={float(out[1][-1]):.4g}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Hyperparameter-learning tests.
+
+Oracle: the reference's hand-derived analytic gradients
+(`vbhmm_em_lb.m:261-324`) — autodiff of the ELBO at the EM fixed point
+must reproduce them."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.special import digamma
+
+from vbhem_tpu import hyp as hypmod
+from vbhem_tpu.config import VBConfig
+from vbhem_tpu.containers import SeqBatch
+from vbhem_tpu.models import hmm_tools, vbhmm
+from tests.test_vbhmm import make_gt_hmm
+
+
+@pytest.fixture(scope="module")
+def setup():
+    hmm = make_gt_hmm([[0.6, 0.4], [0.4, 0.6]])
+    _, x = hmm_tools.sample(jax.random.key(11), hmm, t=40, n=20)
+    batch = SeqBatch(x=x, lengths=jnp.full((20,), 40, jnp.int32))
+    cfg = VBConfig(mu0=(1.5, 1.5), w0=1.0, numtrials=3)
+    hyps = vbhmm.VBHyps.from_config(cfg, 2, jnp.float64)
+    post0 = vbhmm.random_init(jax.random.key(0), batch, 2, hyps)
+    st = vbhmm.vbem_em(batch, post0, hyps, max_iter=100, min_diff=1e-7)
+    return batch, cfg, hyps, st
+
+
+def reference_gradients(batch, st, hyps):
+    """Hand-derived formulas from vbhmm_em_lb.m:261-324 (as oracle)."""
+    post = st.post
+    fb = vbhmm.e_step(batch, post)
+    stats = vbhmm.suff_stats(batch, fb)
+    k = post.num_states
+    d = batch.x.shape[-1]
+    log_pi = np.asarray(digamma(np.asarray(post.alpha))
+                        - digamma(np.asarray(post.alpha).sum()))
+    eps = np.asarray(post.epsilon)
+    log_a = digamma(eps) - digamma(eps.sum(-1, keepdims=True))
+    v = np.asarray(post.niw.v)
+    w = np.asarray(post.niw.w)
+    m = np.asarray(post.niw.m)
+    beta = np.asarray(post.niw.beta)
+    a0 = float(hyps.alpha0)
+    e0 = float(hyps.epsilon0)
+    b0 = float(hyps.beta0)
+    v0 = float(hyps.v0)
+    w0 = np.asarray(hyps.w0)
+    m0 = np.asarray(hyps.m0)
+
+    g = {}
+    g["alpha0"] = k * digamma(k * a0) - k * digamma(a0) + log_pi.sum()
+    g["epsilon0"] = k * (k * digamma(k * e0) - k * digamma(e0)) + log_a.sum()
+    loglam = np.array([
+        digamma(0.5 * (v[i] + 1 - np.arange(1, d + 1))).sum()
+        + d * np.log(2) + np.log(np.linalg.det(w[i])) for i in range(k)])
+    logdet_w0inv = np.sum(np.log(1.0 / w0))
+    g["v0"] = k * (0.5 * logdet_w0inv - 0.5 * d * np.log(2)
+                   - 0.5 * digamma(0.5 * (v0 + 1 - np.arange(1, d + 1))).sum()) \
+        + 0.5 * loglam.sum()
+    mwm = np.array([ (m[i] - m0) @ w[i] @ (m[i] - m0) for i in range(k)])
+    g["beta0"] = 0.5 * np.sum(d / b0 - d / beta - v * mwm)
+    # W0 (diag): d/dW0 = K*(-0.5 v0 W0inv) - 0.5 sum_k v_k * (-(W0inv^2) W_kdd)
+    w0inv = 1.0 / w0
+    dtr = np.stack([-(w0inv ** 2) * np.diagonal(w[i]) for i in range(k)])
+    g["w0"] = -0.5 * v0 * w0inv * k - 0.5 * (v[:, None] * dtr).sum(0)
+    g["m0"] = np.sum([b0 * v[i] * (w[i] @ (m[i] - m0)) for i in range(k)],
+                     axis=0)
+    return g
+
+
+def test_autodiff_matches_reference_gradients(setup):
+    batch, cfg, hyps, st = setup
+
+    def neg_elbo(h):
+        post = jax.lax.stop_gradient(st.post)
+        fb = vbhmm.e_step(batch, post)
+        stats = vbhmm.suff_stats(batch, fb)
+        return -vbhmm.elbo(batch, post, fb, stats, h)
+
+    grads = jax.grad(neg_elbo)(hyps)
+    ref = reference_gradients(batch, st, hyps)
+    np.testing.assert_allclose(-float(grads.alpha0), ref["alpha0"], rtol=1e-6)
+    np.testing.assert_allclose(-float(grads.epsilon0), ref["epsilon0"], rtol=1e-6)
+    np.testing.assert_allclose(-float(grads.v0), ref["v0"], rtol=1e-6)
+    np.testing.assert_allclose(-float(grads.beta0), ref["beta0"], rtol=1e-6)
+    np.testing.assert_allclose(-np.asarray(grads.w0), ref["w0"], rtol=1e-6)
+    np.testing.assert_allclose(-np.asarray(grads.m0), ref["m0"], rtol=1e-6)
+
+
+def test_hyp_optimization_improves_elbo(setup):
+    batch, cfg, hyps, st = setup
+    ll_before = float(st.ll)
+    hyps_opt, st_opt, info = vbhmm.optimize_solution_hyps(
+        batch, st.post, hyps, cfg)
+    assert float(st_opt.ll) >= ll_before - 1e-6, (ll_before, float(st_opt.ll))
+    assert float(st_opt.ll) > ll_before + 1.0, "hyp-opt should help clearly"
+    # optimized hyps stay inside bounds
+    assert cfg.bounds.alpha0_min <= float(hyps_opt.alpha0) <= cfg.bounds.alpha0_max
+    assert float(hyps_opt.v0) > batch.x.shape[-1] - 1
+
+
+def test_unique_ll():
+    lls = np.array([-100.0, -100.000001, -90.0, -np.inf, -90.00001])
+    idx = hypmod.unique_ll(lls, min_diff=1e-5)
+    assert list(idx)[:2] == [2] or -90.0 in lls[idx]
+    assert len(idx) == 2  # -90 pair dedups, -100 pair dedups, -inf dropped
+
+
+def test_learn_with_hyps_end_to_end(setup):
+    batch, cfg, hyps, st = setup
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, learn_hyps=True, numtrials=2)
+    res, info = vbhmm.learn(jax.random.key(5), batch, 2, cfg2)
+    assert "learned_hyps" in info
+    means = np.asarray(res.model.mean)
+    order = np.argsort(means[:, 0])
+    np.testing.assert_allclose(means[order], [[0, 0], [3, 3]], atol=0.4)

@@ -1,0 +1,61 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh
+(SURVEY.md section 4: exercise multi-host logic without a pod)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vbhem_tpu.config import VBHEMConfig
+from vbhem_tpu.models import vbhem
+from vbhem_tpu.parallel import spmd
+from tests.test_vbhem import gt_hmm
+
+
+@pytest.fixture(scope="module")
+def base8():
+    """A small synthetic base bank with Kb divisible by the mesh."""
+    from vbhem_tpu.models import hmm_tools, vbhmm
+    from vbhem_tpu.containers import SeqBatch
+    from vbhem_tpu.config import VBConfig
+    cfg = VBConfig(mu0=(1.5, 1.5), w0=1.0, numtrials=2)
+    results = []
+    for gi, h in enumerate([gt_hmm([[0.6, 0.4], [0.4, 0.6]]),
+                            gt_hmm([[0.4, 0.6], [0.6, 0.4]])]):
+        for si in range(4):
+            key = jax.random.key(gi * 10 + si)
+            _, x = hmm_tools.sample(key, h, t=30, n=8)
+            batch = SeqBatch(x=x, lengths=jnp.full((8,), 30, jnp.int32))
+            res, _ = vbhmm.learn(jax.random.fold_in(key, 1), batch, 2, cfg)
+            results.append(res)
+    return vbhem.h3m_from_results(results)
+
+
+def test_sharded_step_matches_single_device(base8):
+    assert len(jax.devices()) >= 8, "conftest should force 8 CPU devices"
+    cfg = VBHEMConfig(alpha0=1e6, m0=(1.5, 1.5), w0=1.0, nv=10, tau=5)
+    hyps = vbhem.VBHEMHyps.from_config(cfg, 2)
+    n_trials = 4
+    keys = jax.random.split(jax.random.key(0), n_trials)
+    posts = jax.vmap(lambda k: vbhem.init_baseem(k, base8, 2, 2, hyps,
+                                                 cfg.nv))(keys)
+
+    # single-device reference: one EM iteration per trial
+    def one_step(post):
+        tilde_n = (cfg.nv * base8.num_hmms) * base8.omega
+        exps = vbhem.reduced_expectations(post)
+        pair = vbhem.e_step(base8, post, exps, cfg.tau)
+        hat_z, z_ni, nj = vbhem.soft_assignments(tilde_n, exps.log_omega,
+                                                 pair.ll_elbo)
+        ll = vbhem.elbo(post, exps, pair, hat_z, z_ni, nj, hyps)
+        stats = vbhem.aggregate_stats(base8, pair, z_ni, nj)
+        return vbhem.m_step(stats, hyps), ll
+
+    ref_posts, ref_ll = jax.vmap(one_step)(posts)
+
+    mesh = spmd.make_mesh(n_trial=4, n_base=2)
+    new_posts, ll = spmd.sharded_em_step(mesh, base8, posts, hyps,
+                                         cfg.nv, cfg.tau)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ref_ll),
+                               rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(new_posts), jax.tree.leaves(ref_posts)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)

@@ -1,0 +1,142 @@
+"""VBHEM engine tests: ELBO monotonicity and ground-truth cluster
+recovery — the acceptance test of the reference's synthetic benchmark
+(`Synthetic_experiment/exprmt1_*.m`, SURVEY.md section 4.1)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vbhem_tpu.config import VBConfig, VBHEMConfig
+from vbhem_tpu.containers import HMM, SeqBatch
+from vbhem_tpu.models import hmm_tools, vbhem, vbhmm
+from vbhem_tpu.utils.metrics import purity, rand_index
+
+
+def gt_hmm(trans):
+    return HMM(prior=jnp.asarray([0.5, 0.5]),
+               trans=jnp.asarray(trans, jnp.float64),
+               mean=jnp.asarray([[0.0, 0.0], [3.0, 3.0]]),
+               cov=jnp.broadcast_to(jnp.eye(2), (2, 2, 2)))
+
+
+@pytest.fixture(scope="module")
+def learned_bank():
+    """Mini version of the synthetic benchmark: 2 GT HMMs x 6 subjects
+    each, VBEM per subject (exprmt1_demo.m:47 scale reduced for CI)."""
+    h1 = gt_hmm([[0.6, 0.4], [0.4, 0.6]])
+    h2 = gt_hmm([[0.4, 0.6], [0.6, 0.4]])
+    cfg = VBConfig(mu0=(1.5, 1.5), w0=1.0, numtrials=3)
+    results, labels = [], []
+    for gi, h in enumerate([h1, h2]):
+        for si in range(6):
+            key = jax.random.key(100 + gi * 10 + si)
+            _, x = hmm_tools.sample(key, h, t=50, n=15)
+            batch = SeqBatch(x=x, lengths=jnp.full((15,), 50, jnp.int32))
+            res, _ = vbhmm.learn(jax.random.fold_in(key, 1), batch, 2, cfg)
+            results.append(res)
+            labels.append(gi)
+    return results, np.array(labels)
+
+
+@pytest.fixture(scope="module")
+def base(learned_bank):
+    results, _ = learned_bank
+    return vbhem.h3m_from_results(results, use_post=True)
+
+
+@pytest.fixture(scope="module")
+def vbhem_cfg():
+    # The synthetic benchmark settings (exprmt1_demo.m:66-79):
+    # alpha0=1e6, Nv=100, tau=T=50 — the large alpha0 keeps clusters
+    # alive when they differ only in transition dynamics.
+    return VBHEMConfig(alpha0=1e6, m0=(1.5, 1.5), w0=1.0, trials=8,
+                       nv=100, tau=50, initmode="baseem",
+                       learn_hyps=False)  # hyp-opt covered by test_hyp.py
+
+
+def test_h3m_posterior_form(base, learned_bank):
+    results, _ = learned_bank
+    # posterior form: prior = exp(E[log pi]) is sub-normalized
+    prior = np.asarray(base.hmm.prior)
+    assert np.all(prior.sum(axis=1) <= 1.0 + 1e-12)
+    # covariance scaled by (beta+1)/beta > plain expected covariance
+    cov0 = np.asarray(results[0].post.niw.expected_cov())
+    assert np.all(np.diagonal(np.asarray(base.hmm.cov)[0, 0]) >
+                  np.diagonal(cov0[0]) - 1e-12)
+
+
+def test_vbhem_elbo_monotone(base, vbhem_cfg):
+    hyps = vbhem.VBHEMHyps.from_config(vbhem_cfg, 2)
+    post = vbhem.init_baseem(jax.random.key(0), base, 2, 2, hyps,
+                             vbhem_cfg.nv)
+    tilde_n = (vbhem_cfg.nv * base.num_hmms) * base.omega
+    lls = []
+    for _ in range(40):
+        exps = vbhem.reduced_expectations(post)
+        pair = vbhem.e_step(base, post, exps, vbhem_cfg.tau)
+        hat_z, z_ni, nj = vbhem.soft_assignments(tilde_n, exps.log_omega,
+                                                 pair.ll_elbo)
+        ll = float(vbhem.elbo(post, exps, pair, hat_z, z_ni, nj, hyps))
+        lls.append(ll)
+        stats = vbhem.aggregate_stats(base, pair, z_ni, nj)
+        post = vbhem.m_step(stats, hyps)
+        if len(lls) > 2 and abs((lls[-1] - lls[-2]) / lls[-2]) < 1e-9:
+            break
+    diffs = np.diff(lls)
+    assert np.all(diffs >= -1e-6 * np.abs(np.array(lls[:-1]))), lls
+
+
+def test_vbhem_recovers_clusters(base, learned_bank, vbhem_cfg):
+    _, labels_true = learned_bank
+    st = vbhem.select_best_trial(
+        vbhem.fit_single_ks(jax.random.key(1), base, 2, 2, vbhem_cfg))
+    res = vbhem.finalize(st)
+    ri, _, _, _ = rand_index(np.asarray(res.label), labels_true)
+    assert ri == pytest.approx(1.0), (np.asarray(res.label), labels_true)
+    assert purity(np.asarray(res.label), labels_true) == pytest.approx(1.0)
+    # cluster-center transition matrices recover the two GT dynamics
+    trans = np.asarray(res.h3m.hmm.trans)
+    diag_mass = np.array([np.trace(trans[j]) for j in range(2)])
+    assert (diag_mass.max() > 1.05) and (diag_mass.min() < 0.95), trans
+
+
+def test_vbhem_model_selection(base, learned_bank, vbhem_cfg):
+    _, labels_true = learned_bank
+    res, info = vbhem.cluster(jax.random.key(2), base, [1, 2, 3], 2,
+                              vbhem_cfg)
+    assert info["model_best_k"] == 2, info["model_ll"]
+    ri, _, _, _ = rand_index(np.asarray(res.label), labels_true)
+    assert ri == pytest.approx(1.0)
+
+
+def test_empty_cluster_pruning(base, vbhem_cfg):
+    """K=4 on 2-group data: extra clusters should end up (near) empty and
+    prunable."""
+    st = vbhem.select_best_trial(
+        vbhem.fit_single_ks(jax.random.key(3), base, 4, 2, vbhem_cfg))
+    res = vbhem.finalize(st)
+    pruned = vbhem.remove_empty_clusters(res, cluster_thresh=1.0)
+    assert pruned.nj.shape[-1] <= 4
+    hz = np.asarray(pruned.hat_z)
+    np.testing.assert_allclose(hz.sum(axis=1), 1.0, atol=1e-9)
+
+
+def test_initializers_produce_valid_posteriors(base, vbhem_cfg):
+    hyps = vbhem.VBHEMHyps.from_config(vbhem_cfg, 2)
+    for name, fn in vbhem._INITIALIZERS.items():
+        post = fn(jax.random.key(7), base, 3, 2, hyps, vbhem_cfg.nv)
+        assert np.all(np.asarray(post.alpha) > 0), name
+        assert np.all(np.asarray(post.eta) > 0), name
+        assert np.all(np.asarray(post.epsilon) > 0), name
+        assert np.all(np.asarray(post.niw.beta) > 0), name
+        # W must be PSD
+        eigs = np.linalg.eigvalsh(np.asarray(post.niw.w))
+        assert np.all(eigs > 0), (name, eigs.min())
+
+
+def test_metrics():
+    ri, r, m, h = rand_index([0, 0, 1, 1], [1, 1, 0, 0])
+    assert ri == pytest.approx(1.0) and r == pytest.approx(1.0)
+    assert purity([0, 0, 1, 1], [1, 1, 0, 0]) == pytest.approx(1.0)
+    ri2, _, _, _ = rand_index([0, 1, 0, 1], [0, 0, 1, 1])
+    assert ri2 < 0.2

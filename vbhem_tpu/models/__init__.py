@@ -1,1 +1,2 @@
-from . import hmm_tools, vbhmm  # noqa: F401
+from . import (ccfd, dic, hmm_tools, ppk, vbhem, vbhmm,  # noqa: F401
+               vhem)

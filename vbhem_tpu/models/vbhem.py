@@ -185,16 +185,23 @@ def e_step(base: H3M, post: H3MPosterior, exps: ReducedExpectations,
 
 
 def soft_assignments(tilde_n: jnp.ndarray, log_omega: jnp.ndarray,
-                     ll_elbo: jnp.ndarray):
+                     ll_elbo: jnp.ndarray, axis_name: Optional[str] = None):
     """hat_Z softmax weighted by virtual counts
-    (`vbhem_h3m_c_step_fc.m:275-283`)."""
+    (`vbhem_h3m_c_step_fc.m:275-283`).
+
+    The softmax over clusters is row-local; only the cluster masses Nj
+    reduce over the base axis — a `psum` when Kb is sharded
+    (``axis_name`` set, pod configuration)."""
     from ..utils.numeric import logsumexp
     dtype = ll_elbo.dtype
     log_z = tilde_n[:, None] * (log_omega[None, :] + ll_elbo)
     hat_z = jnp.exp(log_z - logsumexp(log_z, axis=-1, keepdims=True))
     hat_z = hat_z + tiny(dtype)
     z_ni = hat_z * tilde_n[:, None]
-    nj = jnp.sum(z_ni, axis=0) + tiny(dtype)
+    nj = jnp.sum(z_ni, axis=0)
+    if axis_name is not None:
+        nj = jax.lax.psum(nj, axis_name)
+    nj = nj + tiny(dtype)
     return hat_z, z_ni, nj
 
 
@@ -212,7 +219,8 @@ class ClusterStats(NamedTuple):
 
 
 def aggregate_stats(base: H3M, pair: PairStats, z_ni: jnp.ndarray,
-                    nj: jnp.ndarray) -> ClusterStats:
+                    nj: jnp.ndarray,
+                    axis_name: Optional[str] = None) -> ClusterStats:
     """Z-weighted reduction of pair statistics over the base axis.
 
     The emission statistics are linear images of ``sum_t_nu`` against
@@ -227,9 +235,13 @@ def aggregate_stats(base: H3M, pair: PairStats, z_ni: jnp.ndarray,
     # second moment cache: mu mu^T + Sigma per base state
     m2_b = mean_b[..., :, None] * mean_b[..., None, :] + cov_b  # [Kb,Sb,D,D]
     emit_pr = jnp.sum(pair.sum_t_nu, axis=-1)                   # [Kb,Kr,Sr]
-    nj_rho = jnp.einsum("ij,ijr->jr", z_ni, emit_pr) + tiny(dtype)
+    nj_rho = jnp.einsum("ij,ijr->jr", z_ni, emit_pr)
     y_sum = jnp.einsum("ij,ijrb,ibd->jrd", z_ni, pair.sum_t_nu, mean_b)
     m2_sum = jnp.einsum("ij,ijrb,ibde->jrde", z_ni, pair.sum_t_nu, m2_b)
+    if axis_name is not None:
+        nj_rho1, nj_rho2rho, nj_rho, y_sum, m2_sum = jax.lax.psum(
+            (nj_rho1, nj_rho2rho, nj_rho, y_sum, m2_sum), axis_name)
+    nj_rho = nj_rho + tiny(dtype)
     y_bar = y_sum / nj_rho[..., None]
     s_plus_c = sym(m2_sum / nj_rho[..., None, None]
                    - y_bar[..., :, None] * y_bar[..., None, :])
@@ -268,7 +280,7 @@ def m_step(stats: ClusterStats, hyps: VBHEMHyps) -> H3MPosterior:
 
 def elbo(post: H3MPosterior, exps: ReducedExpectations, pair: PairStats,
          hat_z: jnp.ndarray, z_ni: jnp.ndarray, nj: jnp.ndarray,
-         hyps: VBHEMHyps) -> jnp.ndarray:
+         hyps: VBHEMHyps, axis_name: Optional[str] = None) -> jnp.ndarray:
     """The 10-term VBHEM lower bound (`vbhemh3m_lb.m:88-186`)."""
     dtype = hat_z.dtype
     kr = post.num_clusters
@@ -284,6 +296,9 @@ def elbo(post: H3MPosterior, exps: ReducedExpectations, pair: PairStats,
     log_b0 = log_wishart_b(logdet_w0inv, hyps.v0, d)
 
     lt1 = jnp.sum(z_ni * pair.ll_elbo)
+    lt7_local = jnp.sum(hat_z * jnp.log(hat_z))
+    if axis_name is not None:
+        lt1, lt7_local = jax.lax.psum((lt1, lt7_local), axis_name)
     lt2 = jnp.sum(nj * exps.log_omega)
     lt3 = kr * log_c_eta0 + (hyps.eta0 - 1.0) * jnp.sum(exps.log_pi)
     lt4 = kr * sr * log_c_eps0 + (hyps.epsilon0 - 1.0) * jnp.sum(exps.log_a)
@@ -302,7 +317,7 @@ def elbo(post: H3MPosterior, exps: ReducedExpectations, pair: PairStats,
     lt5 = lt51 + lt52
 
     lt6 = log_c_alpha0 + (hyps.alpha0 - 1.0) * jnp.sum(exps.log_omega)
-    lt7 = jnp.sum(hat_z * jnp.log(hat_z))
+    lt7 = lt7_local
     lt8 = log_dirichlet_const(post.alpha) \
         + jnp.sum((post.alpha - 1.0) * exps.log_omega)
     lt9 = (jnp.sum(log_dirichlet_const(post.eta))
@@ -336,16 +351,21 @@ class VBHEMState(NamedTuple):
 
 def vbhem_em(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
              nv: int, tau: int, max_iter: int = 200,
-             min_diff: float = 1e-5) -> VBHEMState:
+             min_diff: float = 1e-5, kb_total: Optional[int] = None,
+             axis_name: Optional[str] = None) -> VBHEMState:
     """The VBHEM EM loop, mirroring `vbhem_h3m_c_step_fc.m:115-433`.
 
     Virtual counts: tilde_N_i = Nv * Kb * omega_i (`:26-30`).  Control
     flow matches the reference: {expectations, pair E-step, hat_Z, ELBO,
     convergence check, M-step}, with the M-step applied on the
     converging iteration and NaN -> -inf instability handling.
+
+    When the base axis Kb is sharded across devices (shard_map), pass
+    ``axis_name`` and ``kb_total`` (the global Kb): statistic reductions
+    become psums over ICI and the posterior/ELBO stay replicated.
     """
     dtype = base.hmm.mean.dtype
-    kb = base.num_hmms
+    kb = kb_total if kb_total is not None else base.num_hmms
     tilde_n = (nv * kb) * base.omega
     big_neg = jnp.asarray(-jnp.finfo(dtype).max, dtype)
 
@@ -353,14 +373,14 @@ def vbhem_em(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
         exps = reduced_expectations(st.post)
         pair = e_step(base, st.post, exps, tau)
         hat_z, z_ni, nj = soft_assignments(tilde_n, exps.log_omega,
-                                           pair.ll_elbo)
-        ll = elbo(st.post, exps, pair, hat_z, z_ni, nj, hyps)
+                                           pair.ll_elbo, axis_name)
+        ll = elbo(st.post, exps, pair, hat_z, z_ni, nj, hyps, axis_name)
         unstable = jnp.isnan(ll)
         ll = jnp.where(unstable, -jnp.inf, ll)
         lik_incr = jnp.abs((ll - st.ll) / st.ll)
         converged = jnp.logical_and(st.it > 0, lik_incr <= min_diff)
         done = converged | unstable | (st.it + 1 >= max_iter)
-        stats = aggregate_stats(base, pair, z_ni, nj)
+        stats = aggregate_stats(base, pair, z_ni, nj, axis_name)
         new_post = m_step(stats, hyps)
         new_post = jax.tree.map(
             lambda new, old: jnp.where(unstable, old, new), new_post, st.post)
@@ -588,6 +608,37 @@ def select_best_trial(states: VBHEMState) -> VBHEMState:
     return jax.tree.map(lambda a: a[best], states)
 
 
+def optimize_solution_hyps(base: H3M, init_post: H3MPosterior,
+                           hyps0: VBHEMHyps, config: VBHEMConfig):
+    """Empirical-Bayes hyp optimization for one VBHEM solution
+    (`vbhem_h3m_c_hyp.m`): each objective eval re-runs the VBHEM EM from
+    the same initial posterior (the reference's 'inith3m' restart,
+    `vbhem_h3m_c_hyp.m:105-137`) with candidate hyps; gradient =
+    dELBO/dhyps at the fixed point via autodiff."""
+    from .. import hyp as hypmod
+
+    dim = base.hmm.mean.shape[-1]
+    specs = hypmod.vbhem_specs(dim, config.bounds, config.learn_hyps_keys)
+    kb = base.num_hmms
+    tilde_n = (config.nv * kb) * base.omega
+
+    def neg_elbo(hyps: VBHEMHyps):
+        st = vbhem_em(base, init_post, jax.lax.stop_gradient(hyps),
+                      nv=config.nv, tau=config.tau,
+                      max_iter=config.max_iter, min_diff=config.min_diff)
+        post = jax.lax.stop_gradient(st.post)
+        exps = reduced_expectations(post)
+        pair = e_step(base, post, exps, config.tau)
+        hat_z, z_ni, nj = soft_assignments(tilde_n, exps.log_omega,
+                                           pair.ll_elbo)
+        return -elbo(post, exps, pair, hat_z, z_ni, nj, hyps)
+
+    hyps_opt, info = hypmod.optimize_hyps(neg_elbo, hyps0, specs)
+    st = vbhem_em(base, init_post, hyps_opt, nv=config.nv, tau=config.tau,
+                  max_iter=config.max_iter, min_diff=config.min_diff)
+    return hyps_opt, st, info
+
+
 def cluster(key: jax.Array, base: H3M, k, s,
             config: VBHEMConfig = VBHEMConfig(),
             hyps: Optional[VBHEMHyps] = None):
@@ -606,6 +657,10 @@ def cluster(key: jax.Array, base: H3M, k, s,
     modes = (["baseem", "wtkmeans", "random"] if config.initmode == "auto"
              else [config.initmode])
 
+    dim = base.hmm.mean.shape[-1]
+    hyps0 = hyps if hyps is not None else VBHEMHyps.from_config(
+        config, dim, base.hmm.mean.dtype)
+
     results = {}
     scores = np.full((len(ks), len(ss)), -np.inf)
     for ki, kk in enumerate(ks):
@@ -613,11 +668,25 @@ def cluster(key: jax.Array, base: H3M, k, s,
             cell_key = jax.random.fold_in(jax.random.fold_in(key, ki), si)
             best_st, best_ll = None, -np.inf
             for mi, mode in enumerate(modes):
-                st = select_best_trial(fit_single_ks(
+                states = fit_single_ks(
                     jax.random.fold_in(cell_key, mi), base, kk, sv,
-                    config, hyps, initmode=mode))
-                if float(st.ll) > best_ll:
-                    best_st, best_ll = st, float(st.ll)
+                    config, hyps0, initmode=mode)
+                if config.learn_hyps:
+                    # hyp-optimize each unique restart solution
+                    # (`vbhem_h3m_c.m:96-160`)
+                    from .. import hyp as hypmod
+                    uniq = hypmod.unique_ll(np.asarray(states.ll),
+                                            config.min_diff)[:3]
+                    for idx in uniq:
+                        st_i = jax.tree.map(lambda a: a[int(idx)], states)
+                        _, st_opt, _ = optimize_solution_hyps(
+                            base, st_i.post, hyps0, config)
+                        if float(st_opt.ll) > best_ll:
+                            best_st, best_ll = st_opt, float(st_opt.ll)
+                else:
+                    st = select_best_trial(states)
+                    if float(st.ll) > best_ll:
+                        best_st, best_ll = st, float(st.ll)
             results[(kk, sv)] = finalize(best_st)
             scores[ki, si] = best_ll + float(gammaln(kk + 1)) \
                 + float(gammaln(sv + 1))

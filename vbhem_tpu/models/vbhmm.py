@@ -287,6 +287,33 @@ def finalize(batch: SeqBatch, st: EMState) -> VBHMMResult:
         state_mask=jnp.ones_like(post.alpha, dtype=bool))
 
 
+def optimize_solution_hyps(batch: SeqBatch, init_post: HMMPosterior,
+                           hyps0: VBHyps, config: VBConfig):
+    """Empirical-Bayes hyp optimization for one solution
+    (`vbhmm_em_hyp.m`): L-BFGS-B over transformed hyps; each objective
+    eval re-runs EM from the SAME initial posterior (the given solution)
+    with the candidate hyps, exactly as `vbhmm_em_hyp.m:166-200`.
+    Returns (opt hyps, final EMState, info)."""
+    from .. import hyp as hypmod
+
+    dim = batch.x.shape[-1]
+    specs = hypmod.vb_specs(dim, config.bounds, config.learn_hyps_keys)
+
+    def neg_elbo(hyps: VBHyps):
+        st = vbem_em(batch, init_post, jax.lax.stop_gradient(hyps),
+                     max_iter=config.max_iter, min_diff=config.min_diff)
+        post = jax.lax.stop_gradient(st.post)
+        fb = e_step(batch, post)
+        stats = suff_stats(batch, fb)
+        # gradient = dL/dhyps at the EM fixed point (posterior stopped)
+        return -elbo(batch, post, fb, stats, hyps)
+
+    hyps_opt, info = hypmod.optimize_hyps(neg_elbo, hyps0, specs)
+    st = vbem_em(batch, init_post, hyps_opt,
+                 max_iter=config.max_iter, min_diff=config.min_diff)
+    return hyps_opt, st, info
+
+
 def learn(key: jax.Array, batch: SeqBatch, k, config: VBConfig = VBConfig(),
           hyps: Optional[VBHyps] = None):
     """Learn an HMM with restarts and optional model selection over K
@@ -317,11 +344,32 @@ def learn(key: jax.Array, batch: SeqBatch, k, config: VBConfig = VBConfig(),
                 "model_best_k": ks[best], "model_all": results}
         return results[best], info
 
-    st = select_best_trial(fit_single_k(key, batch, int(k), config, hyps))
+    states = fit_single_k(key, batch, int(k), config, hyps)
+    info = {"model_best_k": int(k)}
+    if config.learn_hyps:
+        # dedup restart solutions by LL and hyp-optimize each unique one
+        # (`vbhmm_learn.m:484-552`), then take the best final ELBO.
+        from .. import hyp as hypmod
+        import numpy as np
+        dim = batch.x.shape[-1]
+        hyps0 = hyps if hyps is not None else VBHyps.from_config(
+            config, dim, batch.x.dtype)
+        uniq = hypmod.unique_ll(np.asarray(states.ll), config.min_diff)[:5]
+        best_st, best_ll, best_hyps = None, -np.inf, hyps0
+        for idx in uniq:
+            st_i = jax.tree.map(lambda a: a[int(idx)], states)
+            h_opt, st_opt, _ = optimize_solution_hyps(
+                batch, st_i.post, hyps0, config)
+            if float(st_opt.ll) > best_ll:
+                best_st, best_ll, best_hyps = st_opt, float(st_opt.ll), h_opt
+        st = best_st
+        info["learned_hyps"] = best_hyps
+    else:
+        st = select_best_trial(states)
     res = finalize(batch, st)
     if config.sortclusters:
         res = standardize(res, config.sortclusters)
-    return res, {"model_best_k": int(k)}
+    return res, info
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,259 @@
+"""VHEM: non-Bayesian hierarchical EM clustering of HMM banks — the
+original H3M-toolbox baseline (reference L4, `src/compare_mtds/hem/`).
+
+Parity map:
+  * `vhem_cluster.m`      -> :func:`cluster`
+  * `hem_h3m_c.m`         -> :func:`fit_single_ks` (vmapped trials)
+  * `hem_h3m_c_step.m`    -> :func:`vhem_em`
+  * `hem_hmm_bwd_fwd_mex.c` -> shared :mod:`..ops.pair_estep` kernel with
+    the point-estimate expected-log-Gaussian flavor (the reference keeps
+    two near-identical C kernels; SURVEY.md section 7.1 merges them)
+  * `hem_mstep_component.m` -> :func:`m_step` (weighted ML updates)
+  * `initialize_hem_h3m_c.m` ('baseem'/'base') -> initializers
+
+Degenerate handling: the reference splits the heaviest component/state
+when one collapses (`hem_fix_degenerate_*.m`); here collapse is
+prevented with the same `reg_cov` covariance ridge plus mass floors,
+and empty clusters are reported via omega for post-hoc handling.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..config import HEMConfig
+from ..containers import H3M, HMM
+from ..ops.pair_estep import (PairStats, expected_pair_ll_point,
+                              pair_bwd_fwd)
+from ..utils.numeric import logsumexp, sym, tiny
+
+
+class VHEMState(NamedTuple):
+    h3m: H3M                 # reduced model (point estimates)
+    ll: jnp.ndarray
+    last_ll: jnp.ndarray
+    it: jnp.ndarray
+    z: jnp.ndarray           # [Kb, Kr]
+    ll_elbo: jnp.ndarray     # [Kb, Kr]
+    emit_counts: jnp.ndarray  # [Kr, Sr] state virtual counts
+    done: jnp.ndarray
+
+
+def _inf_norm(mode: str, nv: int, tau: int, kb: int) -> float:
+    """Normalization of L_elbo (`hem_h3m_c_step.m:110-119`)."""
+    if mode == "":
+        return 1.0
+    if mode == "n":
+        return nv / kb
+    if mode in ("tn", "nt"):
+        return tau * nv / kb
+    if mode == "t":
+        return float(tau)
+    raise ValueError(f"unknown inf_norm {mode!r}")
+
+
+def e_step(base: H3M, reduced: H3M, tau: int,
+           smooth: float = 1.0) -> PairStats:
+    """Pair E-step with point-estimate scores (`hem_h3m_c_step.m:185-287`).
+    ``smooth`` tempers the expected emission log-likelihood."""
+    ell = expected_pair_ll_point(base.hmm.mean, base.hmm.cov,
+                                 reduced.hmm.mean, reduced.hmm.cov)
+    if smooth != 1.0:
+        ell = ell / smooth
+    log_pi = jnp.log(jnp.maximum(reduced.hmm.prior, 1e-300))
+    log_a = jnp.log(jnp.maximum(reduced.hmm.trans, 1e-300))
+    return pair_bwd_fwd(base.hmm.prior, base.hmm.trans, log_pi, log_a,
+                        ell, tau)
+
+
+def m_step(base: H3M, pair: PairStats, z: jnp.ndarray,
+           config: HEMConfig) -> tuple:
+    """Weighted ML updates (`hem_h3m_c_step.m:428-459` +
+    `hem_mstep_component.m:83-166`).  Returns (reduced H3M, emit counts)."""
+    dtype = z.dtype
+    kb, kr = z.shape
+    sr = pair.nu_1.shape[-1]
+    d = base.hmm.mean.shape[-1]
+    eps = tiny(dtype)
+
+    omega_new = jnp.sum(z, axis=0) / kb                       # [Kr]
+    zw = z * base.omega[:, None]                              # Zomega [Kb,Kr]
+
+    prior_u = jnp.einsum("ij,ijr->jr", zw, pair.nu_1)
+    a_u = jnp.einsum("ij,ijrs->jrs", zw, pair.sum_xi)
+    if sr == 1:
+        a_u = jnp.full_like(a_u, 1e-12)   # hem_mstep_component.m:124-126
+    if config.tau == 1:
+        a_u = 1e-12 * jnp.broadcast_to(jnp.eye(sr, dtype=dtype), a_u.shape)
+    prior_new = prior_u / jnp.maximum(jnp.sum(prior_u, -1, keepdims=True), eps)
+    trans_new = a_u / jnp.maximum(jnp.sum(a_u, -1, keepdims=True), eps)
+
+    # emission stats are linear in sum_t_nu against cached base moments
+    mean_b = base.hmm.mean
+    m2_b = mean_b[..., :, None] * mean_b[..., None, :] + base.hmm.cov
+    w_sum = jnp.einsum("ij,ijrb->jr", zw, pair.sum_t_nu)      # Gweight
+    mu_sum = jnp.einsum("ij,ijrb,ibd->jrd", zw, pair.sum_t_nu, mean_b)
+    m2_sum = jnp.einsum("ij,ijrb,ibde->jrde", zw, pair.sum_t_nu, m2_b)
+    w_safe = jnp.maximum(w_sum, eps)
+    mean_new = mu_sum / w_safe[..., None]
+    cov_new = sym(m2_sum / w_safe[..., None, None]
+                  - mean_new[..., :, None] * mean_new[..., None, :])
+    cov_new = cov_new + config.reg_cov * jnp.eye(d, dtype=dtype)
+
+    # state virtual counts (`hem_mstep_component.m:138`)
+    emit_counts = jnp.sum(a_u, axis=-2) + prior_u
+    h3m = H3M(omega=omega_new,
+              hmm=HMM(prior=prior_new, trans=trans_new,
+                      mean=mean_new, cov=cov_new),
+              state_mask=jnp.ones((kr, sr), bool))
+    return h3m, emit_counts
+
+
+def vhem_em(base: H3M, init: H3M, config: HEMConfig) -> VHEMState:
+    """The VHEM EM loop (`hem_h3m_c_step.m:179-505`)."""
+    dtype = base.hmm.mean.dtype
+    kb = base.num_hmms
+    kr, sr = init.hmm.prior.shape
+    n_i = (config.nv * kb) * base.omega                       # [Kb]
+    inf_norm = _inf_norm(config.inf_norm, config.nv, config.tau, kb)
+    big_neg = jnp.asarray(-jnp.finfo(dtype).max, dtype)
+
+    # apply the covariance regularization once up front
+    # (`hem_h3m_c_step.m:98-108`)
+    d = base.hmm.mean.shape[-1]
+    init = init._replace(hmm=init.hmm._replace(
+        cov=init.hmm.cov + config.reg_cov * jnp.eye(d, dtype=dtype)))
+
+    def body(st: VHEMState) -> VHEMState:
+        pair = e_step(base, st.h3m, config.tau, config.smooth)
+        ll_n = pair.ll_elbo / inf_norm
+        log_z = jnp.log(jnp.maximum(st.h3m.omega, 1e-300))[None, :] \
+            + n_i[:, None] * ll_n
+        z = jnp.exp(log_z - logsumexp(log_z, -1, keepdims=True))
+        ll = jnp.sum(logsumexp(log_z, -1))
+        unstable = jnp.isnan(ll)
+        ll = jnp.where(unstable, -jnp.inf, ll)
+        change = (ll - st.ll) / jnp.abs(st.ll)
+        converged = jnp.logical_and(st.it > 0, change < config.min_diff)
+        done = converged | unstable | (st.it + 1 >= config.max_iter)
+        new_h3m, emit_counts = m_step(base, pair, z, config)
+        new_h3m = jax.tree.map(
+            lambda new, old: jnp.where(unstable, old, new), new_h3m, st.h3m)
+        return VHEMState(h3m=new_h3m, ll=ll, last_ll=st.ll, it=st.it + 1,
+                         z=z, ll_elbo=pair.ll_elbo,
+                         emit_counts=emit_counts, done=done)
+
+    st0 = VHEMState(h3m=init, ll=big_neg, last_ll=big_neg,
+                    it=jnp.asarray(0), z=jnp.zeros((kb, kr), dtype),
+                    ll_elbo=jnp.zeros((kb, kr), dtype),
+                    emit_counts=jnp.zeros((kr, sr), dtype),
+                    done=jnp.asarray(False))
+    return jax.lax.while_loop(lambda st: ~st.done, body, st0)
+
+
+# ---------------------------------------------------------------------------
+# initializers (initialize_hem_h3m_c.m)
+# ---------------------------------------------------------------------------
+
+def init_baseem(key: jax.Array, base: H3M, kr: int, sr: int,
+                config: HEMConfig) -> H3M:
+    """'baseem': random base emissions as reduced emissions, uniform
+    prior/transitions (`initialize_hem_h3m_c.m:111-141`)."""
+    dtype = base.hmm.mean.dtype
+    kb, sb_max = base.state_mask.shape
+    k_b, k_g, k_w = jax.random.split(key, 3)
+    rand_b = jax.random.randint(k_b, (kr, sr), 0, kb)
+    n_states = jnp.sum(base.state_mask, axis=-1)
+    u = jax.random.uniform(k_g, (kr, sr))
+    rand_g = jnp.minimum(jnp.floor(u * n_states[rand_b]).astype(jnp.int32),
+                         sb_max - 1)
+    mean = base.hmm.mean[rand_b, rand_g]
+    cov = base.hmm.cov[rand_b, rand_g]
+    prior = jnp.full((kr, sr), 1.0 / sr, dtype)
+    trans = jnp.full((kr, sr, sr), 1.0 / sr, dtype)
+    omega = jax.random.uniform(k_w, (kr,), dtype) + 0.1
+    omega = omega / jnp.sum(omega)
+    return H3M(omega=omega,
+               hmm=HMM(prior=prior, trans=trans, mean=mean, cov=cov),
+               state_mask=jnp.ones((kr, sr), bool))
+
+
+def init_base_subset(key: jax.Array, base: H3M, kr: int, sr: int,
+                     config: HEMConfig) -> H3M:
+    """'base': a random subset of input HMMs as initial centers
+    (`initialize_hem_h3m_c.m:40-61,142-155`).  Requires the base HMMs to
+    have >= sr states (extra states are truncated, fewer padded from
+    state 0)."""
+    dtype = base.hmm.mean.dtype
+    kb = base.num_hmms
+    idx = jax.random.permutation(key, kb)[:kr]
+    take = lambda a: a[idx][:, :sr]
+    prior = take(base.hmm.prior)
+    prior = prior / jnp.maximum(jnp.sum(prior, -1, keepdims=True), 1e-12)
+    trans = base.hmm.trans[idx][:, :sr, :sr]
+    trans = trans / jnp.maximum(jnp.sum(trans, -1, keepdims=True), 1e-12)
+    return H3M(omega=jnp.full((kr,), 1.0 / kr, dtype),
+               hmm=HMM(prior=prior, trans=trans,
+                       mean=take(base.hmm.mean),
+                       cov=base.hmm.cov[idx][:, :sr]),
+               state_mask=jnp.ones((kr, sr), bool))
+
+
+_INITIALIZERS = {"baseem": init_baseem, "base": init_base_subset}
+
+
+class VHEMResult(NamedTuple):
+    """`h3m_to_hmms.m` output form: reduced models + memberships."""
+    h3m: H3M
+    ll: jnp.ndarray
+    z: jnp.ndarray
+    label: jnp.ndarray
+    emit_counts: jnp.ndarray
+
+    @property
+    def groups(self):
+        import numpy as np
+        lab = np.asarray(self.label)
+        return [list(np.where(lab == j)[0])
+                for j in range(self.h3m.omega.shape[-1])]
+
+
+def finalize(st: VHEMState) -> VHEMResult:
+    return VHEMResult(h3m=st.h3m, ll=st.ll, z=st.z,
+                      label=jnp.argmax(st.z, axis=-1),
+                      emit_counts=st.emit_counts)
+
+
+def fit_single_ks(key: jax.Array, base: H3M, kr: int, sr: int,
+                  config: HEMConfig,
+                  initmode: Optional[str] = None) -> VHEMState:
+    """Vmapped random restarts (`hem_h3m_c.m:229-322`)."""
+    mode = initmode or config.initmode
+    if mode == "auto":
+        mode = "baseem"
+    init_fn = _INITIALIZERS[mode]
+
+    def one_trial(trial_key):
+        return vhem_em(base, init_fn(trial_key, base, kr, sr, config),
+                       config)
+
+    keys = jax.random.split(key, config.trials)
+    return jax.vmap(one_trial)(keys)
+
+
+def select_best_trial(states: VHEMState) -> VHEMState:
+    best = jnp.argmax(states.ll)
+    return jax.tree.map(lambda a: a[best], states)
+
+
+def cluster(key: jax.Array, base: H3M, kr: int, sr: int,
+            config: HEMConfig = HEMConfig(),
+            initmode: Optional[str] = None) -> VHEMResult:
+    """VHEM clustering for one (K, S) (`vhem_cluster.m`).  Identity
+    shortcut when Kr == Kb is NOT applied here (the reference returns
+    the inputs unchanged in that case, `hem_h3m_c.m:19-25`)."""
+    st = select_best_trial(fit_single_ks(key, base, kr, sr, config,
+                                         initmode))
+    return finalize(st)

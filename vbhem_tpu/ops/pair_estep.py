@@ -107,7 +107,9 @@ def pair_bwd_fwd(prior_b: jnp.ndarray, trans_b: jnp.ndarray,
 
     # ---- backward: Theta[t], LL ----
     # ll carries [Kb,Kr,Sb,Sr] = LL_old (reference LL_old', transposed).
-    ll0 = jnp.zeros((kb, kr, sb, sr), dtype)
+    # zeros_like(ell) (not jnp.zeros) so the carry inherits ell's
+    # varying-manual-axes under shard_map.
+    ll0 = jnp.zeros_like(ell)
 
     def bwd_step(ll_old, _):
         # logtheta[i,j, rho_prev, b_cur, rho_cur]
@@ -143,7 +145,9 @@ def pair_bwd_fwd(prior_b: jnp.ndarray, trans_b: jnp.ndarray,
         nu_new = jnp.swapaxes(jnp.sum(xi, axis=-3), -1, -2)  # [i,j,rho_cur,b_cur]
         return (nu_new, sum_xi, sum_t_nu + nu_new), None
 
-    init = (nu0, jnp.zeros((kb, kr, sr, sr), dtype), nu0)
+    # [Kb,Kr,Sr,Sr] zeros that inherit nu0's varying axes (shard_map)
+    sum_xi0 = jnp.einsum("ijrb,ijsb->ijrs", nu0, nu0) * 0.0
+    init = (nu0, sum_xi0, nu0)
     (nu_f, sum_xi, sum_t_nu), _ = jax.lax.scan(fwd_step, init, thetas,
                                                reverse=True)
     return PairStats(ll_elbo=ll_elbo, nu_1=nu_1, sum_xi=sum_xi,

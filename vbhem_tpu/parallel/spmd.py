@@ -1,0 +1,80 @@
+"""Multi-chip SPMD execution of the VBHEM engine.
+
+The reference parallelizes with single-machine `parfor` over restarts
+(`vbhem_h3m_c.m:28`) and leaves the base-HMM axis serial inside the MEX
+kernel.  Here the device mesh carries both axes (SURVEY.md section 5
+"Distributed communication backend"):
+
+  * ``trial`` axis — random restarts (and (K,S) grid cells) are
+    embarrassingly parallel: sharded vmap, no communication until the
+    final argmax.
+  * ``base``  axis — the Kb base-HMM bank is sharded for pod-scale
+    problems; per-iteration sufficient statistics (Nj, Nj_rho*, y_bar,
+    S_plus_C) and the ELBO terms reduce with `psum` over ICI (see the
+    ``axis_name`` plumbing in :mod:`..models.vbhem`).
+
+Everything below builds a single jitted program with `shard_map`, so
+XLA schedules the collectives; nothing here talks NCCL/MPI.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..containers import H3M, H3MPosterior
+from ..models import vbhem
+
+try:  # jax>=0.4.35
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax.shard_map import shard_map
+
+
+def make_mesh(n_trial: int, n_base: int, devices=None) -> Mesh:
+    """Create a ('trial', 'base') mesh over the available devices."""
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    if n_trial * n_base > len(devices):
+        raise ValueError(f"mesh {n_trial}x{n_base} needs more than "
+                         f"{len(devices)} devices")
+    dev = np.asarray(devices[: n_trial * n_base]).reshape(n_trial, n_base)
+    return Mesh(dev, axis_names=("trial", "base"))
+
+
+def sharded_em_step(mesh: Mesh, base: H3M, posts: H3MPosterior,
+                    hyps: vbhem.VBHEMHyps, nv: int, tau: int):
+    """One VBHEM EM iteration, trials sharded over 'trial' and the base
+    bank sharded over 'base'.  ``posts`` carries a leading trials axis.
+    Returns (new posts, per-trial ELBO).  This is the jitted multi-chip
+    training step."""
+    kb_total = base.num_hmms
+
+    def local_step(base_shard: H3M, post: H3MPosterior):
+        tilde_n = (nv * kb_total) * base_shard.omega
+        exps = vbhem.reduced_expectations(post)
+        pair = vbhem.e_step(base_shard, post, exps, tau)
+        hat_z, z_ni, nj = vbhem.soft_assignments(
+            tilde_n, exps.log_omega, pair.ll_elbo, axis_name="base")
+        ll = vbhem.elbo(post, exps, pair, hat_z, z_ni, nj, hyps, "base")
+        stats = vbhem.aggregate_stats(base_shard, pair, z_ni, nj, "base")
+        return vbhem.m_step(stats, hyps), ll
+
+    def stepper(base_shard: H3M, posts_shard: H3MPosterior):
+        return jax.vmap(local_step, in_axes=(None, 0))(base_shard, posts_shard)
+
+    base_spec = jax.tree.map(lambda _: P("base"), base)
+    posts_spec = jax.tree.map(lambda _: P("trial"), posts)
+    fn = shard_map(stepper, mesh=mesh,
+                   in_specs=(base_spec, posts_spec),
+                   out_specs=(posts_spec, P("trial")))
+    return jax.jit(fn)(base, posts)
+
+
+def replicate_to_mesh(mesh: Mesh, tree):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
