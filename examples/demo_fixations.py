@@ -1,0 +1,120 @@
+"""End-to-end demo: per-subject VBEM -> VBHEM clustering -> plots.
+
+The TPU-native equivalent of `demo/vbdemo_face.m`: learn an HMM per
+subject from fixation sequences with model selection over S=1..3 and
+hyperparameter learning, cluster the subjects' HMMs with VBHEM over
+K=1..5, prune empty clusters, and plot the group models.
+
+The reference ships a private Excel dataset (`demo/demodata.xls`); this
+demo generates equivalent synthetic face-viewing data instead: two
+viewer groups ("holistic" vs "analytic") with different ROI dynamics on
+a 512x384 image.  Point `--xls` at a SubjectID/TrialID/FixX/FixY table
+to run on real data (`read_xls_fixations.m` format).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from vbhem_tpu.config import VBConfig, VBHEMConfig
+from vbhem_tpu.containers import HMM, SeqBatch
+from vbhem_tpu.models import hmm_tools, vbhem, vbhmm
+from vbhem_tpu.models.hyp_heuristics import set_hyperparam
+from vbhem_tpu.utils import plots
+from vbhem_tpu.utils.io import read_fixations
+
+
+def synth_subjects(key, n_per_group=5, n_trials=12, t=12):
+    """Two groups of synthetic viewers on a 512x384 'face'."""
+    eyes_l, eyes_r, mouth = [180.0, 140.0], [330.0, 140.0], [255.0, 280.0]
+    cov = (28.0 ** 2) * jnp.eye(2)
+    holistic = HMM(prior=jnp.asarray([0.8, 0.1, 0.1]),
+                   trans=jnp.asarray([[0.8, 0.1, 0.1],
+                                      [0.4, 0.5, 0.1],
+                                      [0.4, 0.1, 0.5]]),
+                   mean=jnp.asarray([[255.0, 170.0], eyes_l, eyes_r]),
+                   cov=jnp.broadcast_to(cov, (3, 2, 2)))
+    analytic = HMM(prior=jnp.asarray([0.45, 0.45, 0.1]),
+                   trans=jnp.asarray([[0.5, 0.4, 0.1],
+                                      [0.4, 0.5, 0.1],
+                                      [0.3, 0.3, 0.4]]),
+                   mean=jnp.asarray([eyes_l, eyes_r, mouth]),
+                   cov=jnp.broadcast_to(cov, (3, 2, 2)))
+    batches, labels = [], []
+    for gi, gt in enumerate([holistic, analytic]):
+        for si in range(n_per_group):
+            k = jax.random.fold_in(jax.random.fold_in(key, gi), si)
+            _, x = hmm_tools.sample(k, gt, t=t, n=n_trials)
+            batches.append(SeqBatch(x=x, lengths=jnp.full((n_trials,), t,
+                                                          jnp.int32)))
+            labels.append(gi)
+    return batches, np.asarray(labels)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--xls", default=None, help="fixation table (xls/csv)")
+    ap.add_argument("--out", default="demo_out", help="output dir")
+    ap.add_argument("--seed", type=int, default=100)
+    ap.add_argument("--cpu", action="store_true", help="force CPU")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.xls:
+        subjects = read_fixations(args.xls)
+        names = list(subjects)
+        batches = [subjects[n] for n in names]
+        labels = None
+    else:
+        batches, labels = synth_subjects(jax.random.key(args.seed))
+        names = [f"subj{i:02d}" for i in range(len(batches))]
+
+    # per-subject VBEM, model selection over S (vbdemo_face.m:21-40)
+    cfg = VBConfig(numtrials=10, learn_hyps=True)
+    cfg = set_hyperparam(cfg, batches, mode="d")
+    results = []
+    for i, b in enumerate(batches):
+        res, info = vbhmm.learn(jax.random.key(args.seed + i), b,
+                                [1, 2, 3], cfg)
+        print(f"{names[i]}: best S={info['model_best_k']} "
+              f"LL={float(res.ll):.1f}")
+        results.append(res)
+        fig = plots.plot_vbhmm(res, batch=b, title=names[i])
+        fig.savefig(os.path.join(args.out, f"{names[i]}.png"), dpi=80)
+
+    # VBHEM clustering over K (vbdemo_face.m:46-67)
+    vb_cfg = VBHEMConfig(m0=cfg.mu0, w0=cfg.w0, trials=10, nv=10, tau=5,
+                         initmode="wtkmeans", learn_hyps=False)
+    base = vbhem.h3m_from_results(results)
+    res, info = vbhem.cluster(jax.random.key(args.seed + 1001), base,
+                              [1, 2, 3, 4, 5], 3, vb_cfg)
+    res = vbhem.remove_empty_clusters(res)
+    print("selected K =", info["model_best_k"],
+          "| groups:", res.groups)
+    if labels is not None:
+        from vbhem_tpu.utils.metrics import rand_index
+        ri = rand_index(np.asarray(res.label), labels)[0]
+        print("adjusted Rand index vs ground truth:", round(ri, 3))
+
+    fig = plots.plot_vbhem_clusters(res)
+    fig.savefig(os.path.join(args.out, "clusters.png"), dpi=80)
+    import matplotlib.pyplot as plt
+    fig2, ax = plt.subplots(figsize=(5, 3.5))
+    plots.plot_model_selection(ax, info["model_ll"][:, 0],
+                               info["model_k"])
+    fig2.savefig(os.path.join(args.out, "model_selection.png"), dpi=80)
+    print("plots written to", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Tests for grouped VBEM, batch learning, hyp heuristics, io, plots."""
+import io
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vbhem_tpu.config import VBConfig
+from vbhem_tpu.containers import SeqBatch
+from vbhem_tpu.models import batch as batchmod
+from vbhem_tpu.models import hmm_tools, vbhmm, vbhmm_groups
+from vbhem_tpu.models.hyp_heuristics import format_hyps, set_hyperparam
+from tests.test_vbhmm import make_gt_hmm
+
+
+@pytest.fixture(scope="module")
+def two_dyn_batch():
+    """Sequences from two HMMs with shared emissions but different
+    dynamics — the grouped-VBEM use case."""
+    h1 = make_gt_hmm([[0.8, 0.2], [0.2, 0.8]])
+    h2 = make_gt_hmm([[0.2, 0.8], [0.8, 0.2]])
+    xs = []
+    for gi, h in enumerate([h1, h2]):
+        _, x = hmm_tools.sample(jax.random.key(gi), h, t=40, n=10)
+        xs.append(x)
+    x = jnp.concatenate(xs)
+    group_map = jnp.asarray([0] * 10 + [1] * 10)
+    return SeqBatch(x=x, lengths=jnp.full((20,), 40, jnp.int32)), group_map
+
+
+def test_grouped_vbem_separates_dynamics(two_dyn_batch):
+    batch, group_map = two_dyn_batch
+    cfg = VBConfig(mu0=(1.5, 1.5), w0=1.0)
+    hyps = vbhmm.VBHyps.from_config(cfg, 2, batch.x.dtype)
+    post0u = vbhmm.random_init(jax.random.key(0), batch, 2, hyps)
+    post0 = vbhmm_groups.from_ungrouped(post0u, 2)
+    st = vbhmm_groups.vbem_em(batch, post0, hyps, group_map)
+    assert np.isfinite(float(st.ll))
+    # per-group transition matrices should differ strongly
+    eps = np.asarray(st.post.epsilon)
+    a0 = eps[0] / eps[0].sum(-1, keepdims=True)
+    a1 = eps[1] / eps[1].sum(-1, keepdims=True)
+    # one group self-transitions, the other alternates
+    tr = np.trace(a0) + np.trace(a1)
+    assert abs(np.trace(a0) - np.trace(a1)) > 0.8, (a0, a1)
+    # shared emissions recover the two means
+    means = np.sort(np.asarray(st.post.niw.m)[:, 0])
+    np.testing.assert_allclose(means, [0, 3], atol=0.4)
+
+
+def test_grouped_elbo_monotone(two_dyn_batch):
+    batch, group_map = two_dyn_batch
+    cfg = VBConfig(mu0=(1.5, 1.5), w0=1.0)
+    hyps = vbhmm.VBHyps.from_config(cfg, 2, batch.x.dtype)
+    post = vbhmm_groups.from_ungrouped(
+        vbhmm.random_init(jax.random.key(1), batch, 2, hyps), 2)
+    lls = []
+    for _ in range(25):
+        fb = vbhmm_groups.e_step(batch, post, group_map)
+        stats = vbhmm_groups.grouped_stats(batch, fb, group_map, 2)
+        lls.append(float(vbhmm_groups.elbo(batch, post, fb, stats, hyps)))
+        post = vbhmm_groups.m_step(stats, hyps)
+    diffs = np.diff(lls)
+    assert np.all(diffs >= -1e-7 * np.abs(np.array(lls[:-1]))), lls
+
+
+def test_group_split(two_dyn_batch):
+    batch, group_map = two_dyn_batch
+    cfg = VBConfig(mu0=(1.5, 1.5), w0=1.0)
+    hyps = vbhmm.VBHyps.from_config(cfg, 2, batch.x.dtype)
+    post = vbhmm_groups.from_ungrouped(
+        vbhmm.random_init(jax.random.key(1), batch, 2, hyps), 2)
+    parts = vbhmm_groups.split_groups(post)
+    assert len(parts) == 2
+    assert parts[0].alpha.shape == (2,)
+
+
+def test_learn_batch_shared_hyps():
+    h = make_gt_hmm([[0.6, 0.4], [0.4, 0.6]])
+    batches = []
+    for i in range(3):
+        _, x = hmm_tools.sample(jax.random.key(20 + i), h, t=30, n=10)
+        batches.append(SeqBatch(x=x, lengths=jnp.full((10,), 30, jnp.int32)))
+    cfg = VBConfig(mu0=(1.5, 1.5), w0=1.0, numtrials=2)
+    results, info = batchmod.learn_batch(jax.random.key(0), batches, 2,
+                                         cfg, learn_hyps_batch=True,
+                                         keep_inits=2)
+    assert len(results) == 3
+    assert "learned_hyps" in info
+    for res in results:
+        means = np.sort(np.asarray(res.model.mean)[:, 0])
+        np.testing.assert_allclose(means, [0, 3], atol=0.5)
+
+
+def test_set_hyperparam_modes(two_dyn_batch):
+    batch, _ = two_dyn_batch
+    cfg = set_hyperparam(VBConfig(), [batch], mode="d")
+    assert abs(cfg.mu0[0] - float(batch.x[np.asarray(batch.mask)].mean(0)[0])) < 1e-6
+    cfg_c = set_hyperparam(VBConfig(), [batch], mode="c",
+                           image_size=(512, 384))
+    assert cfg_c.mu0 == (256.0, 192.0)
+    s = (0.5 * (512 + 384) / 8.0) / 4.0
+    assert cfg_c.w0 == pytest.approx(s ** -2)
+
+
+def test_format_hyps():
+    hyps = vbhmm.VBHyps.from_config(VBConfig(mu0=(1.0, 2.0)), 2)
+    s = format_hyps(hyps)
+    assert "alpha0=0.1" in s and "m0=[1, 2]" in s
+
+
+def test_read_fixations_csv(tmp_path):
+    from vbhem_tpu.utils.io import read_fixations
+    csv = tmp_path / "fix.csv"
+    csv.write_text(
+        "SubjectID,TrialID,FixX,FixY\n"
+        "s1,1,10,20\ns1,1,11,21\ns1,2,30,40\n"
+        "s2,1,50,60\n")
+    out = read_fixations(str(csv))
+    assert set(out) == {"s1", "s2"}
+    assert out["s1"].x.shape == (2, 2, 2)
+    assert list(np.asarray(out["s1"].lengths)) == [2, 1]
+    np.testing.assert_allclose(np.asarray(out["s2"].x)[0, 0], [50, 60])
+
+
+def test_plots_smoke(two_dyn_batch, tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    batch, _ = two_dyn_batch
+    cfg = VBConfig(mu0=(1.5, 1.5), w0=1.0, numtrials=2)
+    res, _ = vbhmm.learn(jax.random.key(0), batch, 2, cfg)
+    from vbhem_tpu.utils import plots
+    fig = plots.plot_vbhmm(res, batch=batch)
+    fig.savefig(tmp_path / "hmm.png")
+    assert (tmp_path / "hmm.png").stat().st_size > 0

@@ -58,8 +58,10 @@ def forward_backward(log_pz1: jnp.ndarray, log_trans: jnp.ndarray,
                      log_rho: jnp.ndarray, mask: jnp.ndarray) -> FBStats:
     """Scaled FB over a padded batch.
 
-    log_pz1:   [K]    digamma expectation E[log pi] (NOT normalized)
-    log_trans: [K, K] digamma expectation E[log A], row format
+    log_pz1:   [K] or [N, K]   digamma expectation E[log pi] (NOT
+               normalized); a leading N axis gives per-sequence priors
+               (the reference's `usegroups` mode, `vbhmm_fb.m:81-93`).
+    log_trans: [K, K] or [N, K, K] E[log A], row format
     log_rho:   [N, T, K] expected log emissions
     mask:      [N, T] bool, True for real observations.  Every sequence
                must have mask[:, 0] == True (T >= 1).
@@ -69,6 +71,19 @@ def forward_backward(log_pz1: jnp.ndarray, log_trans: jnp.ndarray,
 
     pz1 = jnp.exp(log_pz1)          # sub-normalized prior scores
     trans = jnp.exp(log_trans)      # sub-normalized transition scores
+    if pz1.ndim == 1:
+        pz1 = jnp.broadcast_to(pz1[None, :], (n, k))
+    per_seq_trans = trans.ndim == 3
+
+    def fwd_mm(alpha_prev):
+        if per_seq_trans:
+            return jnp.einsum("nk,nkl->nl", alpha_prev, trans)
+        return alpha_prev @ trans
+
+    def bwd_mm(bp):
+        if per_seq_trans:
+            return jnp.einsum("nl,nkl->nk", bp, trans)
+        return bp @ trans.T
 
     # Per-step emission rescale by the max over states (vbhmm_fb.m:289-291).
     max_rho = jnp.max(log_rho, axis=-1)                        # [N, T]
@@ -76,13 +91,13 @@ def forward_backward(log_pz1: jnp.ndarray, log_trans: jnp.ndarray,
     maskf = mask.astype(dtype)
 
     # ---- forward: alpha_hat_t = normalize((alpha_{t-1} @ A) * px_t) ----
-    delta0 = pz1[None, :] * px[:, 0, :]
+    delta0 = pz1 * px[:, 0, :]
     c0 = jnp.sum(delta0, axis=-1)                              # [N]
     alpha0 = delta0 / c0[:, None]
 
     def fwd_step(alpha_prev, inp):
         px_t, valid = inp                                      # [N,K], [N]
-        delta = (alpha_prev @ trans) * px_t
+        delta = fwd_mm(alpha_prev) * px_t
         c = jnp.sum(delta, axis=-1)
         c_safe = jnp.where(c > 0, c, 1.0)
         alpha_new = delta / c_safe[:, None]
@@ -103,10 +118,11 @@ def forward_backward(log_pz1: jnp.ndarray, log_trans: jnp.ndarray,
         # processes position t given (beta_{t+1}, px_{t+1}, c_{t+1}, valid_{t+1})
         px_next, c_next, valid_next, alpha_t = inp
         bp = beta_next * px_next                               # [N, K]
-        eta = bp @ trans.T
+        eta = bwd_mm(bp)
         beta_t = eta / c_next[:, None]
         beta_t = jnp.where(valid_next[:, None], beta_t, jnp.ones_like(beta_t))
-        xi_t = (trans[None] * (alpha_t[:, :, None] * bp[:, None, :])
+        trans_b = trans if per_seq_trans else trans[None]
+        xi_t = (trans_b * (alpha_t[:, :, None] * bp[:, None, :])
                 / c_next[:, None, None])
         xi_t = jnp.where(valid_next[:, None, None], xi_t, 0.0)
         return beta_t, (beta_t, xi_t)

@@ -1,0 +1,186 @@
+"""Fused Pallas TPU kernel for the VBHEM/VHEM pair E-step.
+
+This is the Pallas replacement for the reference C kernels
+(`vbhem_hmm_bwd_fwd_mex.c` / `hem_hmm_bwd_fwd_mex.c`), fusing the whole
+backward + forward recursion over the virtual length tau into one
+kernel so the intermediate Theta tensors never leave VMEM.
+
+Layout strategy: state counts (Sb, Sr) are tiny (2-8) while the base
+bank Kb is large, so every tensor is transposed to put **Kb on the TPU
+lane axis** (last dim, 128-wide) — recursion arithmetic then vectorizes
+across base HMMs on the VPU, the per-pair [Sb x Sb] / [Sr x Sr]
+contractions unroll into a handful of lane-wise multiply-adds, and the
+log-sum-exp reduces over a small leading axis.  The grid tiles (Kr,
+Kb/TILE); per grid cell the tau Theta slices live in a VMEM scratch of
+[tau-1, Sr, Sb, Sr, TILE].
+
+Semantics are identical to :func:`..pair_estep.pair_bwd_fwd` (oracle
+parity enforced in tests/test_pair_pallas.py); inputs/outputs use the
+same [Kb, ...] layout and are transposed at the boundary (cheap
+relative to the recursion).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pair_estep import PairStats
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(ell_ref, prior_ref, trans_ref, log_pi_ref, log_a_ref,
+            ll_ref, nu1_ref, sxi_ref, stn_ref, theta_scr, *, tau: int,
+            sb: int, sr: int):
+    """Grid cell = (j, i_tile).  Block shapes (leading Kr axis == 1):
+      ell:    [1, sb, sr, TILE]      prior: [sb, TILE]
+      trans:  [sb, sb, TILE]         log_pi: [1, sr, 1]
+      log_a:  [1, sr, sr, 1]
+      outputs: ll [1, TILE], nu1 [1, sr, TILE], sxi [1, sr, sr, TILE],
+               stn [1, sr, sb, TILE]
+      scratch: theta [tau-1, sr, sb, sr, TILE]
+    """
+    ell = ell_ref[0]                       # [sb, sr, T]
+    log_a = log_a_ref[0, :, :, 0]          # [sr, sr]
+    log_pi = log_pi_ref[0, :, 0]           # [sr]
+    trans = trans_ref[...]                 # [sb, sb, T]
+    prior = prior_ref[...]                 # [sb, T]
+    tile = ell.shape[-1]
+
+    def lse_rc(logtheta):
+        # logsumexp over the last state axis rc: [sr, sb, sr, T] -> [sr, sb, T]
+        m = jnp.max(logtheta, axis=2)
+        return m + jnp.log(jnp.sum(jnp.exp(logtheta - m[:, :, None, :]),
+                                   axis=2))
+
+    # ---- backward ----
+    def bwd(t, ll_old):
+        # logtheta[rp, b, rc, kb]
+        logtheta = (log_a[:, None, :, None]
+                    + (ell + ll_old)[None, :, :, :])
+        lse = lse_rc(logtheta)                         # [sr, sb, T]
+        theta_scr[t] = jnp.exp(logtheta - lse[:, :, None, :])
+        # ll_new[b, r, kb] = sum_c trans[b, c, kb] * lse[r, c, kb]
+        ll_new = jnp.einsum("bct,rct->brt", trans, lse,
+                            preferred_element_type=ell.dtype)
+        return ll_new
+
+    ll_old = jnp.zeros_like(ell)                       # [sb, sr, T]
+    ll_old = jax.lax.fori_loop(0, tau - 1, bwd, ll_old)
+
+    # ---- terminate (t = 1) ----
+    logtheta1 = log_pi[None, :, None] + ell + ll_old   # [sb, sr, T]
+    m1 = jnp.max(logtheta1, axis=1)                    # [sb, T]
+    lse1 = m1 + jnp.log(jnp.sum(jnp.exp(logtheta1 - m1[:, None, :]), axis=1))
+    theta1 = jnp.exp(logtheta1 - lse1[:, None, :])     # [sb, sr, T]
+    ll_ref[0] = jnp.sum(prior * lse1, axis=0)          # [T]
+
+    # ---- forward ----
+    nu = prior[:, None, :] * theta1                    # [sb(b), sr(r), T] -> use [r, b]
+    nu = jnp.swapaxes(nu, 0, 1)                        # [sr, sb, T]
+    nu1_ref[0] = jnp.sum(nu, axis=1)
+    sum_xi = jnp.zeros((sr, sr, tile), dtype=ell.dtype)
+    sum_t_nu = nu
+
+    def fwd(step, carry):
+        nu, sum_xi, sum_t_nu = carry
+        # theta slices were stored t = tau..2; forward needs t = 2..tau.
+        t_idx = tau - 2 - step
+        theta_t = theta_scr[t_idx]                     # [rp, b, rc, T]
+        # foo[rp, c, kb] = sum_b nu[rp, b, kb] trans[b, c, kb]
+        foo = jnp.einsum("rbt,bct->rct", nu, trans,
+                         preferred_element_type=ell.dtype)
+        xi = foo[:, :, None, :] * theta_t              # [rp, b, rc, T]
+        sum_xi = sum_xi + jnp.sum(xi, axis=1)          # [rp, rc, T]
+        nu_new = jnp.swapaxes(jnp.sum(xi, axis=0), 0, 1)  # [rc, b, T]
+        return nu_new, sum_xi, sum_t_nu + nu_new
+
+    nu, sum_xi, sum_t_nu = jax.lax.fori_loop(
+        0, tau - 1, fwd, (nu, sum_xi, sum_t_nu))
+    sxi_ref[0] = sum_xi
+    stn_ref[0] = sum_t_nu
+
+
+def pair_bwd_fwd_pallas(prior_b: jnp.ndarray, trans_b: jnp.ndarray,
+                        log_pi_r: jnp.ndarray, log_a_r: jnp.ndarray,
+                        ell: jnp.ndarray, tau: int,
+                        tile: int = LANE,
+                        interpret: bool = False) -> PairStats:
+    """Drop-in replacement for :func:`..pair_estep.pair_bwd_fwd`.
+
+    Same argument/result layout ([Kb, ...] leading); internally
+    transposes to lane-major [.., Kb] and pads Kb to the tile size.
+    """
+    kb, kr, sb, sr = ell.shape
+    dtype = ell.dtype
+    kb_p = _round_up(max(kb, tile), tile)
+
+    # transpose to lane-major and pad the Kb axis
+    def padk(a, axis=-1):
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (0, kb_p - kb)
+        return jnp.pad(a, pad)
+
+    ell_t = padk(jnp.transpose(ell, (1, 2, 3, 0)))          # [Kr,Sb,Sr,Kb]
+    prior_t = padk(jnp.transpose(prior_b, (1, 0)))          # [Sb,Kb]
+    trans_t = padk(jnp.transpose(trans_b, (1, 2, 0)))       # [Sb,Sb,Kb]
+    log_pi_t = log_pi_r[:, :, None]                         # [Kr,Sr,1]
+    log_a_t = log_a_r[:, :, :, None]                        # [Kr,Sr,Sr,1]
+
+    n_tiles = kb_p // tile
+    grid = (kr, n_tiles)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((kr, kb_p), dtype),            # ll
+        jax.ShapeDtypeStruct((kr, sr, kb_p), dtype),        # nu1
+        jax.ShapeDtypeStruct((kr, sr, sr, kb_p), dtype),    # sum_xi
+        jax.ShapeDtypeStruct((kr, sr, sb, kb_p), dtype),    # sum_t_nu
+    )
+    kernel = functools.partial(_kernel, tau=tau, sb=sb, sr=sr)
+    ll_t, nu1_t, sxi_t, stn_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, sb, sr, tile), lambda j, i: (j, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb, tile), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb, sb, tile), lambda j, i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sr, 1), lambda j, i: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sr, sr, 1), lambda j, i: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sr, tile), lambda j, i: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sr, sr, tile), lambda j, i: (j, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sr, sb, tile), lambda j, i: (j, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((max(tau - 1, 1), sr, sb, sr, tile), dtype),
+        ],
+        interpret=interpret,
+    )(ell_t, prior_t, trans_t, log_pi_t, log_a_t)
+
+    # transpose back and strip padding
+    return PairStats(
+        ll_elbo=jnp.transpose(ll_t, (1, 0))[:kb],
+        nu_1=jnp.transpose(nu1_t, (2, 0, 1))[:kb],
+        sum_xi=jnp.transpose(sxi_t, (3, 0, 1, 2))[:kb],
+        sum_t_nu=jnp.transpose(stn_t, (3, 0, 1, 2))[:kb],
+    )
