@@ -36,10 +36,10 @@ def synth_subjects(key, n_per_group=5, n_trials=12, t=12):
     """Two groups of synthetic viewers on a 512x384 'face'."""
     eyes_l, eyes_r, mouth = [180.0, 140.0], [330.0, 140.0], [255.0, 280.0]
     cov = (28.0 ** 2) * jnp.eye(2)
-    holistic = HMM(prior=jnp.asarray([0.8, 0.1, 0.1]),
-                   trans=jnp.asarray([[0.8, 0.1, 0.1],
-                                      [0.4, 0.5, 0.1],
-                                      [0.4, 0.1, 0.5]]),
+    holistic = HMM(prior=jnp.asarray([0.6, 0.2, 0.2]),
+                   trans=jnp.asarray([[0.6, 0.2, 0.2],
+                                      [0.5, 0.4, 0.1],
+                                      [0.5, 0.1, 0.4]]),
                    mean=jnp.asarray([[255.0, 170.0], eyes_l, eyes_r]),
                    cov=jnp.broadcast_to(cov, (3, 2, 2)))
     analytic = HMM(prior=jnp.asarray([0.45, 0.45, 0.1]),
@@ -93,8 +93,10 @@ def main():
         fig.savefig(os.path.join(args.out, f"{names[i]}.png"), dpi=80)
 
     # VBHEM clustering over K (vbdemo_face.m:46-67)
-    vb_cfg = VBHEMConfig(m0=cfg.mu0, w0=cfg.w0, trials=10, nv=10, tau=5,
-                         initmode="wtkmeans", learn_hyps=False)
+    # alpha0=1e6 keeps weakly-evidenced clusters alive, as in the
+    # paper's synthetic experiment (exprmt1_demo.m:72)
+    vb_cfg = VBHEMConfig(alpha0=1e6, m0=cfg.mu0, w0=cfg.w0, trials=10,
+                         nv=50, tau=10, initmode="auto", learn_hyps=False)
     base = vbhem.h3m_from_results(results)
     res, info = vbhem.cluster(jax.random.key(args.seed + 1001), base,
                               [1, 2, 3, 4, 5], 3, vb_cfg)

@@ -10,6 +10,15 @@ PPK-SC / CCFD baselines, and the evaluation metrics.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# On TPU, the default matmul precision truncates f32 operands to bf16 on
+# the MXU, which corrupts the FB/pair recursions and ELBOs at the 1e-2
+# level (measured vs the f64 oracle).  The matmuls in these models are
+# tiny, so full f32 precision costs nothing; users can override after
+# import if they explicitly want bf16 compute.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .config import HEMConfig, VBConfig, VBHEMConfig  # noqa: F401
 from .containers import (H3M, HMM, HMMPosterior, NIW, SeqBatch,  # noqa: F401
                          VBHMMResult, pack_sequences)

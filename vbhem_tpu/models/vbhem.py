@@ -33,8 +33,8 @@ from jax.scipy.special import gammaln
 from ..config import VBHEMConfig
 from ..containers import H3M, HMM, H3MPosterior, NIW, VBHMMResult
 from ..ops.kmeans import kmeans
-from ..ops.pair_estep import (PairStats, expected_pair_ll_variational,
-                              pair_bwd_fwd)
+from ..ops.pair_estep import PairStats, expected_pair_ll_variational
+from ..ops.pair_estep_pallas import pair_bwd_fwd_auto
 from ..utils.numeric import (e_log_det_lambda, e_log_dirichlet, inv_psd,
                              log_dirichlet_const, log_wishart_b, logdet_psd,
                              sym, tiny)
@@ -180,7 +180,7 @@ def e_step(base: H3M, post: H3MPosterior, exps: ReducedExpectations,
     ell = expected_pair_ll_variational(
         base.hmm.mean, base.hmm.cov, post.niw.m, post.niw.w,
         post.niw.v, post.niw.beta, exps.log_lam)
-    return pair_bwd_fwd(base.hmm.prior, base.hmm.trans,
+    return pair_bwd_fwd_auto(base.hmm.prior, base.hmm.trans,
                         exps.log_pi, exps.log_a, ell, tau)
 
 

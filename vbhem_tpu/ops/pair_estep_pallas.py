@@ -22,6 +22,7 @@ relative to the recursion).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +45,7 @@ def _kernel(ell_ref, prior_ref, trans_ref, log_pi_ref, log_a_ref,
       ell:    [1, sb, sr, TILE]      prior: [sb, TILE]
       trans:  [sb, sb, TILE]         log_pi: [1, sr, 1]
       log_a:  [1, sr, sr, 1]
-      outputs: ll [1, TILE], nu1 [1, sr, TILE], sxi [1, sr, sr, TILE],
+      outputs: ll [1, 1, TILE], nu1 [1, sr, TILE], sxi [1, sr, sr, TILE],
                stn [1, sr, sb, TILE]
       scratch: theta [tau-1, sr, sb, sr, TILE]
     """
@@ -61,27 +62,28 @@ def _kernel(ell_ref, prior_ref, trans_ref, log_pi_ref, log_a_ref,
         return m + jnp.log(jnp.sum(jnp.exp(logtheta - m[:, :, None, :]),
                                    axis=2))
 
-    # ---- backward ----
-    def bwd(t, ll_old):
+    # ---- backward (unrolled: tau is static and small; static scratch
+    # indices avoid Mosaic's unsupported >2D dynamic gathers) ----
+    ll_old = jnp.zeros_like(ell)                       # [sb, sr, T]
+    for t in range(tau - 1):
         # logtheta[rp, b, rc, kb]
         logtheta = (log_a[:, None, :, None]
                     + (ell + ll_old)[None, :, :, :])
         lse = lse_rc(logtheta)                         # [sr, sb, T]
         theta_scr[t] = jnp.exp(logtheta - lse[:, :, None, :])
         # ll_new[b, r, kb] = sum_c trans[b, c, kb] * lse[r, c, kb]
-        ll_new = jnp.einsum("bct,rct->brt", trans, lse,
-                            preferred_element_type=ell.dtype)
-        return ll_new
-
-    ll_old = jnp.zeros_like(ell)                       # [sb, sr, T]
-    ll_old = jax.lax.fori_loop(0, tau - 1, bwd, ll_old)
+        # (unrolled over the tiny Sb axis: Mosaic does not lower
+        # lane-batched matmuls, and these are VPU-sized anyway)
+        ll_old = jnp.stack(
+            [jnp.sum(trans[b][None, :, :] * lse, axis=1)
+             for b in range(sb)])                      # [sb, sr, T]
 
     # ---- terminate (t = 1) ----
     logtheta1 = log_pi[None, :, None] + ell + ll_old   # [sb, sr, T]
     m1 = jnp.max(logtheta1, axis=1)                    # [sb, T]
     lse1 = m1 + jnp.log(jnp.sum(jnp.exp(logtheta1 - m1[:, None, :]), axis=1))
     theta1 = jnp.exp(logtheta1 - lse1[:, None, :])     # [sb, sr, T]
-    ll_ref[0] = jnp.sum(prior * lse1, axis=0)          # [T]
+    ll_ref[0, 0] = jnp.sum(prior * lse1, axis=0)       # [T]
 
     # ---- forward ----
     nu = prior[:, None, :] * theta1                    # [sb(b), sr(r), T] -> use [r, b]
@@ -90,21 +92,18 @@ def _kernel(ell_ref, prior_ref, trans_ref, log_pi_ref, log_a_ref,
     sum_xi = jnp.zeros((sr, sr, tile), dtype=ell.dtype)
     sum_t_nu = nu
 
-    def fwd(step, carry):
-        nu, sum_xi, sum_t_nu = carry
-        # theta slices were stored t = tau..2; forward needs t = 2..tau.
-        t_idx = tau - 2 - step
-        theta_t = theta_scr[t_idx]                     # [rp, b, rc, T]
+    # theta slices were stored t = tau..2; forward needs t = 2..tau,
+    # i.e. scratch indices tau-2 down to 0 (unrolled, static).
+    for step in range(tau - 1):
+        theta_t = theta_scr[tau - 2 - step]            # [rp, b, rc, T]
         # foo[rp, c, kb] = sum_b nu[rp, b, kb] trans[b, c, kb]
-        foo = jnp.einsum("rbt,bct->rct", nu, trans,
-                         preferred_element_type=ell.dtype)
+        foo = jnp.stack(
+            [jnp.sum(nu * trans[:, c, :][None], axis=1)
+             for c in range(sb)], axis=1)              # [sr, sb, T]
         xi = foo[:, :, None, :] * theta_t              # [rp, b, rc, T]
         sum_xi = sum_xi + jnp.sum(xi, axis=1)          # [rp, rc, T]
-        nu_new = jnp.swapaxes(jnp.sum(xi, axis=0), 0, 1)  # [rc, b, T]
-        return nu_new, sum_xi, sum_t_nu + nu_new
-
-    nu, sum_xi, sum_t_nu = jax.lax.fori_loop(
-        0, tau - 1, fwd, (nu, sum_xi, sum_t_nu))
+        nu = jnp.swapaxes(jnp.sum(xi, axis=0), 0, 1)   # [rc, b, T]
+        sum_t_nu = sum_t_nu + nu
     sxi_ref[0] = sum_xi
     stn_ref[0] = sum_t_nu
 
@@ -139,7 +138,7 @@ def pair_bwd_fwd_pallas(prior_b: jnp.ndarray, trans_b: jnp.ndarray,
     grid = (kr, n_tiles)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((kr, kb_p), dtype),            # ll
+        jax.ShapeDtypeStruct((kr, 1, kb_p), dtype),         # ll
         jax.ShapeDtypeStruct((kr, sr, kb_p), dtype),        # nu1
         jax.ShapeDtypeStruct((kr, sr, sr, kb_p), dtype),    # sum_xi
         jax.ShapeDtypeStruct((kr, sr, sb, kb_p), dtype),    # sum_t_nu
@@ -161,7 +160,7 @@ def pair_bwd_fwd_pallas(prior_b: jnp.ndarray, trans_b: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tile), lambda j, i: (j, i),
+            pl.BlockSpec((1, 1, tile), lambda j, i: (j, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sr, tile), lambda j, i: (j, 0, i),
                          memory_space=pltpu.VMEM),
@@ -179,8 +178,38 @@ def pair_bwd_fwd_pallas(prior_b: jnp.ndarray, trans_b: jnp.ndarray,
 
     # transpose back and strip padding
     return PairStats(
-        ll_elbo=jnp.transpose(ll_t, (1, 0))[:kb],
+        ll_elbo=jnp.transpose(ll_t[:, 0, :], (1, 0))[:kb],
         nu_1=jnp.transpose(nu1_t, (2, 0, 1))[:kb],
         sum_xi=jnp.transpose(sxi_t, (3, 0, 1, 2))[:kb],
         sum_t_nu=jnp.transpose(stn_t, (3, 0, 1, 2))[:kb],
     )
+
+
+# VMEM budget for the Theta scratch (bytes); past this the fused kernel
+# would spill, so the XLA scan path (which streams Theta through HBM) wins.
+_SCRATCH_BUDGET = 8 * 1024 * 1024
+
+
+def pair_bwd_fwd_auto(prior_b: jnp.ndarray, trans_b: jnp.ndarray,
+                      log_pi_r: jnp.ndarray, log_a_r: jnp.ndarray,
+                      ell: jnp.ndarray, tau: int) -> PairStats:
+    """Backend dispatch for the pair E-step: fused Pallas kernel on TPU
+    (f32, tau small enough for the VMEM Theta scratch), XLA `lax.scan`
+    path otherwise (CPU tests run in f64; the virtual-CPU mesh dry run
+    has no Mosaic).
+
+    Mirrors the reference's `useMEX`/`canuseMEX` dual-path dispatch
+    (`vbhmm_fb.m:96-199`, `vbhem_h3m_c_step_fc.m:168-268`).
+    """
+    from .pair_estep import pair_bwd_fwd
+
+    sb, sr = ell.shape[-2], ell.shape[-1]
+    scratch = max(tau - 1, 1) * sr * sb * sr * LANE * ell.dtype.itemsize
+    use_pallas = (jax.default_backend() == "tpu"
+                  and ell.dtype == jnp.float32
+                  and scratch <= _SCRATCH_BUDGET
+                  and not os.environ.get("VBHEM_TPU_DISABLE_PALLAS"))
+    if use_pallas:
+        return pair_bwd_fwd_pallas(prior_b, trans_b, log_pi_r, log_a_r,
+                                   ell, tau)
+    return pair_bwd_fwd(prior_b, trans_b, log_pi_r, log_a_r, ell, tau)
