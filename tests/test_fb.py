@@ -118,3 +118,57 @@ def test_expected_log_gauss_matches_direct():
                 delta = d / beta[kk] + v[kk] * diff @ w[kk] @ diff
                 want = 0.5 * loglam - 0.5 * delta - 0.5 * d * np.log(2 * np.pi)
                 np.testing.assert_allclose(got[i, tt, kk], want, rtol=1e-8)
+
+
+def test_fb_pallas_matches_xla():
+    """Pallas kernel (interpret mode on CPU) vs the XLA scan path —
+    the MEX-vs-MATLAB dual-path discipline (`vbhmm_fb.m:179-192`)."""
+    from vbhem_tpu.ops.fb_pallas import forward_backward_pallas
+    rng = np.random.default_rng(3)
+    n, t_max, k = 7, 9, 3
+    lengths = rng.integers(2, t_max + 1, size=n)
+    lengths[0] = t_max
+    mask = np.arange(t_max)[None, :] < lengths[:, None]
+    log_rho = rng.normal(size=(n, t_max, k)) * 2.0
+    log_pz1 = np.log(rng.dirichlet(np.ones(k))) - 0.1
+    log_trans = np.log(rng.dirichlet(np.ones(k), size=k)) - 0.1
+
+    args = (jnp.asarray(log_pz1, jnp.float32),
+            jnp.asarray(log_trans, jnp.float32),
+            jnp.asarray(log_rho, jnp.float32), jnp.asarray(mask))
+    want = forward_backward(*args)
+    got = forward_backward_pallas(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.gamma),
+                               np.asarray(want.gamma), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.xi_sum),
+                               np.asarray(want.xi_sum), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.phi_norm),
+                               np.asarray(want.phi_norm), rtol=2e-6)
+
+
+def test_fb_pallas_groups_and_vmap_fold():
+    """Per-sequence parameters (groups mode) + custom_vmap fold into N
+    (interpret mode) vs the XLA path."""
+    from vbhem_tpu.ops.fb_pallas import _pallas_vmappable
+    rng = np.random.default_rng(11)
+    b, n, t_max, k = 3, 5, 6, 2
+    lengths = rng.integers(2, t_max + 1, size=n); lengths[0] = t_max
+    mask = jnp.asarray(np.arange(t_max)[None, :] < lengths[:, None])
+    log_rho = jnp.asarray(rng.normal(size=(b, n, t_max, k)) * 2, jnp.float32)
+    # per-sequence scores (groups mode), per-trial batch on top
+    log_pz1 = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(k), size=(b, n))) - 0.1, jnp.float32)
+    log_trans = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(k), size=(b, n, k))) - 0.1, jnp.float32)
+
+    fp = _pallas_vmappable(interpret=True)
+    got = jax.vmap(fp, in_axes=(0, 0, 0, None))(
+        log_pz1, log_trans, log_rho, mask)
+    want = jax.vmap(lambda p, t, r: forward_backward(p, t, r, mask))(
+        log_pz1, log_trans, log_rho)
+    np.testing.assert_allclose(np.asarray(got.gamma),
+                               np.asarray(want.gamma), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.xi_sum),
+                               np.asarray(want.xi_sum), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.phi_norm),
+                               np.asarray(want.phi_norm), rtol=2e-6)

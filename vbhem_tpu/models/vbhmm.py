@@ -23,7 +23,8 @@ from jax.scipy.special import gammaln
 
 from ..config import VBConfig
 from ..containers import HMM, HMMPosterior, NIW, SeqBatch, VBHMMResult
-from ..ops.fb import FBStats, expected_log_gauss, forward_backward
+from ..ops.fb import FBStats, expected_log_gauss
+from ..ops.fb_pallas import forward_backward_auto
 from ..ops.gmm import fit_gmm
 from ..utils.numeric import (e_log_det_lambda, e_log_dirichlet, inv_psd,
                              log_dirichlet_const, log_wishart_b, logdet_psd,
@@ -71,7 +72,7 @@ def e_step(batch: SeqBatch, post: HMMPosterior) -> FBStats:
     log_rho = expected_log_gauss(batch.x, post.niw)
     log_pz1 = e_log_dirichlet(post.alpha)
     log_trans = e_log_dirichlet(post.epsilon)
-    return forward_backward(log_pz1, log_trans, log_rho, batch.mask)
+    return forward_backward_auto(log_pz1, log_trans, log_rho, batch.mask)
 
 
 def suff_stats(batch: SeqBatch, fb: FBStats) -> SuffStats:

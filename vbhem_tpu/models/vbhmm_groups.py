@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
 from ..containers import NIW, SeqBatch
-from ..ops.fb import FBStats, expected_log_gauss, forward_backward
+from ..ops.fb import FBStats, expected_log_gauss
+from ..ops.fb_pallas import forward_backward_auto
 from ..utils.numeric import (e_log_det_lambda, e_log_dirichlet,
                              log_dirichlet_const, log_wishart_b, logdet_psd,
                              tiny)
@@ -47,7 +48,7 @@ def e_step(batch: SeqBatch, post: GroupedPosterior,
     log_rho = expected_log_gauss(batch.x, post.niw)
     log_pz1 = e_log_dirichlet(post.alpha)[group_map]          # [N, K]
     log_trans = e_log_dirichlet(post.epsilon)[group_map]      # [N, K, K]
-    return forward_backward(log_pz1, log_trans, log_rho, batch.mask)
+    return forward_backward_auto(log_pz1, log_trans, log_rho, batch.mask)
 
 
 def grouped_stats(batch: SeqBatch, fb: FBStats, group_map: jnp.ndarray,

@@ -190,6 +190,67 @@ def pair_bwd_fwd_pallas(prior_b: jnp.ndarray, trans_b: jnp.ndarray,
 _SCRATCH_BUDGET = 8 * 1024 * 1024
 
 
+@functools.lru_cache(maxsize=None)
+def _pallas_vmappable(tau: int, interpret: bool = False):
+    """Wrap the Pallas call in a `custom_vmap` whose batching rule FOLDS
+    the batch axis into the reduced-model axis Kr instead of vmapping the
+    `pallas_call`.
+
+    This matters twice: (a) the folded call is one big kernel launch with
+    grid (B*Kr, Kb/TILE) — exactly how restart trials should ride the
+    hardware; (b) vmap of a raw pallas_call hangs the remote-TPU (axon)
+    platform outright, so it must never be emitted.
+    """
+    from .pair_estep import pair_bwd_fwd
+
+    @jax.custom_batching.custom_vmap
+    def f(prior_b, trans_b, log_pi_r, log_a_r, ell):
+        return pair_bwd_fwd_pallas(prior_b, trans_b, log_pi_r, log_a_r,
+                                   ell, tau, interpret=interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, prior_b, trans_b, log_pi_r, log_a_r,
+              ell):
+        batched_out = PairStats(ll_elbo=True, nu_1=True, sum_xi=True,
+                                sum_t_nu=True)
+        pb, tb, pib, lab, eb = in_batched
+        if pb or tb:
+            # Base bank batched per trial (doesn't happen in the engines;
+            # trials share the base): use the XLA path, where vmap is free.
+            res = jax.vmap(
+                lambda *a: pair_bwd_fwd(*a, tau=tau),
+                in_axes=tuple(0 if x else None for x in in_batched))(
+                    prior_b, trans_b, log_pi_r, log_a_r, ell)
+            return res, batched_out
+
+        b = axis_size
+        kr, sr = log_pi_r.shape[-2], log_pi_r.shape[-1]
+        kb, sb = prior_b.shape
+
+        def bc(a, batched):
+            return a if batched else jnp.broadcast_to(a[None],
+                                                      (b,) + a.shape)
+
+        log_pi = bc(log_pi_r, pib).reshape(b * kr, sr)
+        log_a = bc(log_a_r, lab).reshape(b * kr, sr, sr)
+        ell2 = jnp.transpose(bc(ell, eb), (1, 0, 2, 3, 4)).reshape(
+            kb, b * kr, sb, sr)
+        # Recurse through f (not the raw pallas call) so a further vmap
+        # level folds again instead of batching the kernel.
+        st = f(prior_b, trans_b, log_pi, log_a, ell2)
+
+        def unfold(a):   # [kb, b*kr, ...] -> [b, kb, kr, ...]
+            return jnp.moveaxis(
+                a.reshape((kb, b, kr) + a.shape[2:]), 1, 0)
+
+        res = PairStats(ll_elbo=unfold(st.ll_elbo), nu_1=unfold(st.nu_1),
+                        sum_xi=unfold(st.sum_xi),
+                        sum_t_nu=unfold(st.sum_t_nu))
+        return res, batched_out
+
+    return f
+
+
 def pair_bwd_fwd_auto(prior_b: jnp.ndarray, trans_b: jnp.ndarray,
                       log_pi_r: jnp.ndarray, log_a_r: jnp.ndarray,
                       ell: jnp.ndarray, tau: int) -> PairStats:
@@ -210,6 +271,6 @@ def pair_bwd_fwd_auto(prior_b: jnp.ndarray, trans_b: jnp.ndarray,
                   and scratch <= _SCRATCH_BUDGET
                   and not os.environ.get("VBHEM_TPU_DISABLE_PALLAS"))
     if use_pallas:
-        return pair_bwd_fwd_pallas(prior_b, trans_b, log_pi_r, log_a_r,
-                                   ell, tau)
+        return _pallas_vmappable(tau)(prior_b, trans_b, log_pi_r,
+                                      log_a_r, ell)
     return pair_bwd_fwd(prior_b, trans_b, log_pi_r, log_a_r, ell, tau)
