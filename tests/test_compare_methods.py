@@ -97,3 +97,14 @@ def test_dic_prefers_true_k(bank):
         dics[k] = dval
     assert dics[2] < dics[1], dics
     assert dics[2] <= dics[4] + 1e-6, dics
+
+
+def test_vhem_gmmnew_init(bank):
+    """gmmNew initializer (mixture-hierarchies GMM reduction) also
+    recovers the clustering (`initialize_hem_h3m_c.m:276-494`)."""
+    hmms, labels = bank
+    base = vbhem.h3m_from_hmms(hmms)
+    cfg = HEMConfig(trials=8, nv=100, tau=10, initmode="gmmNew")
+    res = vhem.cluster(jax.random.key(3), base, 2, 2, cfg)
+    ri, _, _, _ = rand_index(np.asarray(res.label), labels)
+    assert ri == pytest.approx(1.0), np.asarray(res.label)

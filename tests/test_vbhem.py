@@ -140,3 +140,36 @@ def test_metrics():
     assert purity([0, 0, 1, 1], [1, 1, 0, 0]) == pytest.approx(1.0)
     ri2, _, _, _ = rand_index([0, 1, 0, 1], [0, 0, 1, 1])
     assert ri2 < 0.2
+
+
+def test_mix_hier_em_recovers_pooled_clusters():
+    """Reducing a pool of Gaussians drawn around two well-separated
+    centers must place the two reduced components near those centers
+    (GMM_MixHierEM.m behavior)."""
+    from vbhem_tpu.ops.gmm import mix_hier_em
+    rng = np.random.default_rng(0)
+    c1, c2 = np.array([0.0, 0.0]), np.array([6.0, 6.0])
+    means = np.concatenate([c1 + 0.2 * rng.normal(size=(10, 2)),
+                            c2 + 0.2 * rng.normal(size=(10, 2))])
+    covs = np.broadcast_to(np.eye(2), (20, 2, 2)).copy()
+    red, lp = mix_hier_em(jax.random.key(0), jnp.asarray(means),
+                          jnp.asarray(covs), jnp.ones((20,)), 2, nv=100)
+    got = np.sort(np.asarray(red.mean), axis=0)
+    np.testing.assert_allclose(got[0], c1, atol=0.3)
+    np.testing.assert_allclose(got[1], c2, atol=0.3)
+    # log-posterior assigns each pooled component to the near center
+    lab = np.argmax(np.asarray(lp), axis=0)
+    assert len(set(lab[:10])) == 1 and len(set(lab[10:])) == 1
+    assert lab[0] != lab[-1]
+
+
+def test_gmmnew_init_clusters_synthetic(base, learned_bank):
+    """gmmNew initializer must produce a valid posterior that the EM
+    drives to the correct 2-cluster solution."""
+    _, labels = learned_bank
+    cfg = VBHEMConfig(alpha0=1e6, m0=(1.5, 1.5), w0=1.0, nv=100, tau=50,
+                      trials=8, initmode="gmmNew", learn_hyps=False)
+    res, info = vbhem.cluster(jax.random.key(7), base, 2, 2, cfg)
+    lab = np.asarray(res.label)
+    ri = rand_index(lab, labels)[0]
+    assert ri > 0.9, (ri, lab)

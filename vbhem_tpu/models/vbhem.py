@@ -540,8 +540,52 @@ def init_random(key: jax.Array, base: H3M, kr: int, sr: int,
                         niw=NIW(beta=lam, v=v, m=centers, w=w))
 
 
+def init_gmmNew(key: jax.Array, base: H3M, kr: int, sr: int,
+                hyps: VBHEMHyps, nv: int) -> H3MPosterior:
+    """'gmmNew' initializer (`vbhemhmm_init.m:103-291`): pool all base
+    emission Gaussians, reduce them to Sr shared components with
+    mixture-hierarchies EM (`GMM_MixHierEM.m`), use the reduced
+    Gaussians as every cluster's emissions; priors/transitions random,
+    cluster weights random, converted to hyperparameter space via the
+    virtual counts Nsj = omega_j * Nv_total (`vbhemhmm_init.m:258-291`)."""
+    from ..ops.gmm import mix_hier_em
+    dtype = base.hmm.mean.dtype
+    kb, sb_max = base.state_mask.shape
+    d = base.hmm.mean.shape[-1]
+    nv_total = nv * kb
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    means_flat = base.hmm.mean.reshape(kb * sb_max, d)
+    covs_flat = base.hmm.cov.reshape(kb * sb_max, d, d)
+    pool_w = base.state_mask.reshape(-1).astype(dtype)
+    red, _ = mix_hier_em(k1, means_flat, covs_flat, pool_w, sr, nv=nv)
+
+    omega = jax.random.uniform(k2, (kr,), dtype)
+    omega = omega / jnp.sum(omega)
+    nsj = omega * nv_total                                     # [Kr]
+    nsj_rho = jnp.broadcast_to(nsj[:, None] / sr, (kr, sr))    # [Kr, Sr]
+
+    v = hyps.v0 + nsj_rho + 1.0
+    lam = hyps.lambda0 + nsj_rho
+    m = jnp.broadcast_to(red.mean[None], (kr, sr, d))
+    w = _emission_w_from_cov(jnp.broadcast_to(red.cov[None], (kr, sr, d, d)),
+                             v)
+
+    kp, ka = jax.random.split(k3)
+    prior = jax.random.uniform(kp, (kr, sr), dtype)
+    prior = prior / jnp.sum(prior, -1, keepdims=True)
+    a = jax.random.uniform(ka, (kr, sr, sr), dtype)
+    a = a / jnp.sum(a, -1, keepdims=True)
+    eta = prior * nsj[:, None] + hyps.eta0
+    epsilon = a * nsj[:, None, None] + hyps.epsilon0
+    alpha = hyps.alpha0 + nsj
+    return H3MPosterior(alpha=alpha, eta=eta, epsilon=epsilon,
+                        niw=NIW(beta=lam, v=v, m=m, w=w))
+
+
 _INITIALIZERS = {
     "baseem": init_baseem,
+    "gmmNew": init_gmmNew,
     "wtkmeans": init_wtkmeans,
     "random": init_random,
 }
@@ -647,14 +691,14 @@ def cluster(key: jax.Array, base: H3M, k, s,
     ``k``/``s`` may be ints or sequences.  Grid cells are scored by
     ``LL + gammaln(K+1) + gammaln(S+1)`` — the multiple-parameterization
     corrections applied at `:280` and `:334`.  'auto' initmode tries
-    {baseem, wtkmeans, random} per cell and keeps the best
-    (`vbhem_h3m_cluster.m:363-399` tries {baseem, gmmNew, wtkmeans}).
+    {baseem, gmmNew, wtkmeans} per cell and keeps the best
+    (`vbhem_h3m_cluster.m:363-399`).
     Returns (VBHEMResult, info dict).
     """
     import numpy as np
     ks = list(k) if isinstance(k, (list, tuple, range)) else [int(k)]
     ss = list(s) if isinstance(s, (list, tuple, range)) else [int(s)]
-    modes = (["baseem", "wtkmeans", "random"] if config.initmode == "auto"
+    modes = (["baseem", "gmmNew", "wtkmeans"] if config.initmode == "auto"
              else [config.initmode])
 
     dim = base.hmm.mean.shape[-1]

@@ -201,7 +201,35 @@ def init_base_subset(key: jax.Array, base: H3M, kr: int, sr: int,
                state_mask=jnp.ones((kr, sr), bool))
 
 
-_INITIALIZERS = {"baseem": init_baseem, "base": init_base_subset}
+def init_gmmNew(key: jax.Array, base: H3M, kr: int, sr: int,
+                config: HEMConfig) -> H3M:
+    """'gmmNew': pool base emission Gaussians, reduce to Sr shared
+    components with mixture-hierarchies EM, random prior/transitions
+    (`initialize_hem_h3m_c.m:276-494` with makeAprior random mode)."""
+    from ..ops.gmm import mix_hier_em
+    dtype = base.hmm.mean.dtype
+    kb, sb_max = base.state_mask.shape
+    d = base.hmm.mean.shape[-1]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    red, _ = mix_hier_em(k1, base.hmm.mean.reshape(kb * sb_max, d),
+                         base.hmm.cov.reshape(kb * sb_max, d, d),
+                         base.state_mask.reshape(-1).astype(dtype), sr,
+                         nv=config.nv)
+    prior = jax.random.uniform(k2, (kr, sr), dtype)
+    prior = prior / jnp.sum(prior, -1, keepdims=True)
+    trans = jax.random.uniform(k3, (kr, sr, sr), dtype)
+    trans = trans / jnp.sum(trans, -1, keepdims=True)
+    omega = jax.random.uniform(k4, (kr,), dtype) + 0.1
+    omega = omega / jnp.sum(omega)
+    return H3M(omega=omega,
+               hmm=HMM(prior=prior, trans=trans,
+                       mean=jnp.broadcast_to(red.mean[None], (kr, sr, d)),
+                       cov=jnp.broadcast_to(red.cov[None], (kr, sr, d, d))),
+               state_mask=jnp.ones((kr, sr), bool))
+
+
+_INITIALIZERS = {"baseem": init_baseem, "base": init_base_subset,
+                 "gmmNew": init_gmmNew}
 
 
 class VHEMResult(NamedTuple):

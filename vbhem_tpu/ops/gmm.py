@@ -96,3 +96,76 @@ def fit_gmm(key: jax.Array, x: jnp.ndarray, k: int,
     init = (GMM(weight0, mean0, cov0), big, big, jnp.asarray(0))
     g, ll, _, _ = jax.lax.while_loop(cond, body, init)
     return g
+
+
+def mix_hier_em(key: jax.Array, mean: jnp.ndarray, cov: jnp.ndarray,
+                prior: jnp.ndarray, t: int, nv: float = 100.0,
+                max_iter: int = 30, tol: float = 1e-6):
+    """Vasconcelos mixture-hierarchies EM: reduce a pooled bank of P
+    Gaussians to a T-component GMM using virtual samples.
+
+    TPU-native replacement for
+    `src/compare_mtds/hem/gmm/GMM_MixHierEM.m` (E-step log-posterior
+    `:113-165`, M-step `:179-199`), used by the 'gmmNew' initializers of
+    both VHEM (`initialize_hem_h3m_c.m:276-494`) and VBHEM
+    (`vbhemhmm_init.m:103-291`).
+
+    mean [P, D], cov [P, D, D], prior [P] (masked-out components carry
+    prior 0 and are inert).  Returns (GMM over T components,
+    log-posterior lp [T, P]) — lp is the reference's `lp_out`.
+    """
+    from ..utils.numeric import inv_psd, logdet_psd
+    p, d = mean.shape
+    dtype = mean.dtype
+    prior = prior / jnp.sum(prior)
+    coef = -0.5 * d * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype))
+    dpp = nv * prior                                        # [P]
+
+    # init: weighted kmeans++ centers on base means, covariance = mean
+    # base covariance, uniform weights (GMM_MixHierEM.m:92-100)
+    from .kmeans import kmeans
+    _, cent0 = kmeans(key, mean, t, weights=prior, max_iter=10)
+    vrnc0 = jnp.broadcast_to(
+        jnp.einsum("p,pde->de", prior, cov)[None], (t, d, d))
+    mxwt0 = jnp.full((t,), 1.0 / t, dtype)
+
+    def e_step(mxwt, cent, vrnc):
+        ivr = inv_psd(vrnc)                                 # [T, D, D]
+        ld = logdet_psd(vrnc)                               # [T]
+        tr = jnp.einsum("tde,ped->tp", ivr, cov)            # [T, P]
+        diff = mean[None] - cent[:, None]                   # [T, P, D]
+        quad = jnp.einsum("tpd,tde,tpe->tp", diff, ivr, diff)
+        xpt = (jnp.log(mxwt)[:, None]
+               + dpp[None, :] * (coef - 0.5 * (tr + quad + ld[:, None])))
+        lse = logsumexp(xpt, axis=0)                        # [P]
+        logpost = xpt - lse[None]
+        return logpost, jnp.mean(lse)
+
+    def m_step(logpost):
+        post = jnp.exp(logpost)                             # [T, P]
+        mxwt = jnp.mean(post, axis=1) + 1e-30
+        wts = post * prior[None]
+        wts = wts / (jnp.sum(wts, axis=1, keepdims=True) + 1e-30)
+        cent = wts @ mean                                   # [T, D]
+        diff = mean[None] - cent[:, None]                   # [T, P, D]
+        vrnc = (jnp.einsum("tp,tpd,tpe->tde", wts, diff, diff)
+                + jnp.einsum("tp,pde->tde", wts, cov))
+        return mxwt / jnp.sum(mxwt), cent, sym(vrnc)
+
+    big = jnp.asarray(-jnp.finfo(dtype).max, dtype)
+
+    def cond(carry):
+        _, _, _, ll, last, it = carry
+        return jnp.logical_and(it < max_iter,
+                               jnp.logical_or(it < 2, ll - last > tol))
+
+    def body(carry):
+        mxwt, cent, vrnc, ll, _, it = carry
+        logpost, new_ll = e_step(mxwt, cent, vrnc)
+        mxwt, cent, vrnc = m_step(logpost)
+        return mxwt, cent, vrnc, new_ll, ll, it + 1
+
+    mxwt, cent, vrnc, _, _, _ = jax.lax.while_loop(
+        cond, body, (mxwt0, cent0, vrnc0, big, big, jnp.asarray(0)))
+    logpost, _ = e_step(mxwt, cent, vrnc)
+    return GMM(weight=mxwt, mean=cent, cov=vrnc), logpost
