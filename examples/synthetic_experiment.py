@@ -1,0 +1,54 @@
+"""CLI for the synthetic ground-truth benchmark — the TPU framework's
+version of `Synthetic_experiment/exprmt1_demo.m` + `syn_evluate.m`.
+
+Runs VBEM -> VBHEM(K,S grid) -> VHEM(AIC/BIC) -> CCFD -> PPK(AIC/BIC)
+over seeded repeats with per-stage checkpoint/resume, then prints the
+recovery summary (Rand index, purity, P(K=2), P(S=2) per method).
+
+Example (small smoke run):
+  python examples/synthetic_experiment.py --repeats 2 --subjects 6 \
+      --seqs 10 --kmax 3 --smax 3 --out /tmp/syn --cpu
+"""
+import argparse
+import json
+import os
+import sys
+
+import jax
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="syn_out")
+    ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--subjects", type=int, default=20,
+                    help="HMMs per ground-truth cluster")
+    ap.add_argument("--seqs", type=int, default=25)
+    ap.add_argument("--t", type=int, default=50)
+    ap.add_argument("--kmax", type=int, default=6)
+    ap.add_argument("--smax", type=int, default=5)
+    ap.add_argument("--trials", type=int, default=50)
+    ap.add_argument("--methods", default="vbhem,vhem,ccfd,ppk")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from vbhem_tpu.config import HEMConfig
+    from vbhem_tpu.experiments import runner, synthetic
+
+    summary = runner.run_experiment(
+        args.out, n_repeats=args.repeats,
+        n_per_cluster=args.subjects, n_seqs=args.seqs, t=args.t,
+        k_grid=range(1, args.kmax + 1), s_grid=range(1, args.smax + 1),
+        vbhem_config=synthetic.default_vbhem_config(trials=args.trials),
+        hem_config=HEMConfig(trials=args.trials, nv=100, tau=10),
+        methods=tuple(args.methods.split(",")))
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""The full synthetic benchmark driver: multiple seeded repeats of the
+multi-method pipeline with per-stage checkpoints and aggregate recovery
+statistics.
+
+Parity map: `Synthetic_experiment/exprmt1_demo.m` (the staged pipeline,
+with `.mat` checkpoints after every stage and repeat,
+`exprmt1_demo.m:58-60,96-102,136-142,176-178,256-258`) and the
+aggregation of `syn_evluate.m` / `evaluate_vbhem_jounarl.m:450-655`
+(Rand index, purity, P(K correct/over/under), P(S correct/over/under)
+per method/criterion).
+
+Checkpoints are one pickle per (repeat, stage) in ``outdir``; a rerun
+with the same outdir resumes after the last completed stage — the TPU
+equivalent of the reference's save/load `.mat` discipline.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..config import HEMConfig, VBConfig, VBHEMConfig
+from . import synthetic as syn
+
+GT_K, GT_S = 2, 2
+
+STAGES = ("data", "vbem", "vbhem", "vhem", "ccfd", "ppk")
+
+
+def _ckpt_path(outdir: str, repeat: int, stage: str) -> str:
+    return os.path.join(outdir, f"r{repeat:03d}_{stage}.pkl")
+
+
+def _load(outdir: str, repeat: int, stage: str):
+    p = _ckpt_path(outdir, repeat, stage)
+    if os.path.exists(p):
+        with open(p, "rb") as f:
+            return pickle.load(f)
+    return None
+
+
+def _save(outdir: str, repeat: int, stage: str, obj) -> None:
+    p = _ckpt_path(outdir, repeat, stage)
+    tmp = p + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(obj, f)
+    os.replace(tmp, p)
+
+
+def run_repeat(repeat: int, outdir: str,
+               n_per_cluster: int = 20, n_seqs: int = 25, t: int = 50,
+               k_grid=range(1, 7), s_grid=range(1, 6),
+               vb_config: Optional[VBConfig] = None,
+               vbhem_config: Optional[VBHEMConfig] = None,
+               hem_config: Optional[HEMConfig] = None,
+               methods=("vbhem", "vhem", "ccfd", "ppk"),
+               verbose: bool = True) -> Dict:
+    """One repeat of the benchmark (`exprmt1_demo.m` outer iteration,
+    seeded `rng(it)`-style by folding the repeat index)."""
+    key = jax.random.key(repeat)
+    scores: Dict[str, syn.RecoveryScore] = {}
+    timings: Dict[str, float] = {}
+
+    def log(msg):
+        if verbose:
+            print(f"[repeat {repeat}] {msg}", flush=True)
+
+    # ---- data (exprmt1_sampledata.m) ----
+    ds = _load(outdir, repeat, "data")
+    if ds is None:
+        ds = syn.sample_dataset(jax.random.fold_in(key, 0),
+                                n_per_cluster=n_per_cluster,
+                                n_seqs=n_seqs, t=t)
+        _save(outdir, repeat, "data", ds)
+    labels = ds.labels
+
+    # ---- per-subject VBEM, one bank per S for PPK (exprmt1_demo.m:47) ----
+    banks = _load(outdir, repeat, "vbem")
+    if banks is None:
+        t0 = time.time()
+        vb_cfg = vb_config or syn.default_vb_config()
+        banks = {}
+        s_list = sorted(set([GT_S]) | set(s_grid)) if "ppk" in methods \
+            else [GT_S]
+        for s in s_list:
+            log(f"VBEM bank S={s}")
+            banks[s] = syn.learn_subject_hmms(
+                jax.random.fold_in(key, 100 + s), ds, s=s, config=vb_cfg)
+        timings["vbem"] = time.time() - t0
+        _save(outdir, repeat, "vbem", banks)
+    results = banks[GT_S]
+
+    # ---- VBHEM over the (K,S) grid (exprmt1_demo.m:64-108) ----
+    if "vbhem" in methods:
+        st = _load(outdir, repeat, "vbhem")
+        if st is None:
+            t0 = time.time()
+            log("VBHEM grid")
+            res, info, score = syn.run_vbhem(
+                jax.random.fold_in(key, 1), results, labels,
+                k_grid=k_grid, s_grid=s_grid, config=vbhem_config)
+            base = syn.vbhem.h3m_from_results(
+                results, use_post=(vbhem_config or
+                                   syn.default_vbhem_config()).use_post)
+            cfg = vbhem_config or syn.default_vbhem_config()
+            dic_out = syn.run_vbhem_dic(info, base, cfg.tau, labels)
+            st = {"score": score, "dic_score": dic_out["score"],
+                  "dic": dic_out["dic"], "model_ll": info["model_ll"],
+                  "elapsed": time.time() - t0}
+            _save(outdir, repeat, "vbhem", st)
+        scores["vbhem"] = st["score"]
+        scores["vbhem_dic"] = st["dic_score"]
+        timings["vbhem"] = st["elapsed"]
+
+    # ---- VHEM grid + AIC/BIC (exprmt1_demo.m:114-148) ----
+    if "vhem" in methods:
+        st = _load(outdir, repeat, "vhem")
+        if st is None:
+            t0 = time.time()
+            log("VHEM grid")
+            out = syn.run_vhem_grid(jax.random.fold_in(key, 2), results,
+                                    labels, k_grid=k_grid, s_grid=s_grid,
+                                    config=hem_config)
+            st = {"aic_score": out["aic_score"],
+                  "bic_score": out["bic_score"], "aic": out["aic"],
+                  "bic": out["bic"], "elapsed": time.time() - t0}
+            _save(outdir, repeat, "vhem", st)
+        scores["vhem_aic"] = st["aic_score"]
+        scores["vhem_bic"] = st["bic_score"]
+        timings["vhem"] = st["elapsed"]
+
+    # ---- CCFD (exprmt1_demo.m:155-178) ----
+    if "ccfd" in methods:
+        st = _load(outdir, repeat, "ccfd")
+        if st is None:
+            t0 = time.time()
+            log("CCFD")
+            out = syn.run_ccfd(jax.random.fold_in(key, 3), results,
+                               labels, ds=ds)
+            st = {"score": out["score"], "elapsed": time.time() - t0}
+            _save(outdir, repeat, "ccfd", st)
+        scores["ccfd"] = st["score"]
+        timings["ccfd"] = st["elapsed"]
+
+    # ---- PPK grid + AIC/BIC (exprmt1_demo.m:180-258) ----
+    if "ppk" in methods:
+        st = _load(outdir, repeat, "ppk")
+        if st is None:
+            t0 = time.time()
+            log("PPK grid")
+            out = syn.run_ppk_grid(jax.random.fold_in(key, 4), banks, ds,
+                                   labels, k_grid=k_grid)
+            st = {"aic_score": out["aic_score"],
+                  "bic_score": out["bic_score"], "ll": out["ll"],
+                  "elapsed": time.time() - t0}
+            _save(outdir, repeat, "ppk", st)
+        scores["ppk_aic"] = st["aic_score"]
+        scores["ppk_bic"] = st["bic_score"]
+        timings["ppk"] = st["elapsed"]
+
+    return {"scores": scores, "timings": timings}
+
+
+def aggregate(per_repeat: List[Dict]) -> Dict:
+    """Recovery statistics per method across repeats
+    (`evaluate_vbhem_jounarl.m:450-655`)."""
+    methods = sorted({m for r in per_repeat for m in r["scores"]})
+    summary = {}
+    for m in methods:
+        ss = [r["scores"][m] for r in per_repeat if m in r["scores"]]
+        ks = np.array([s.best_k for s in ss])
+        svals = np.array([s.best_s for s in ss])
+        summary[m] = {
+            "rand_index_mean": float(np.mean([s.rand_index for s in ss])),
+            "purity_mean": float(np.mean([s.purity for s in ss])),
+            "p_k_correct": float(np.mean(ks == GT_K)),
+            "p_k_over": float(np.mean(ks > GT_K)),
+            "p_k_under": float(np.mean(ks < GT_K)),
+            "p_s_correct": float(np.mean(svals == GT_S)),
+            "p_s_over": float(np.mean(svals > GT_S)),
+            "p_s_under": float(np.mean(svals < GT_S)),
+            "n_repeats": len(ss),
+        }
+    return summary
+
+
+def run_experiment(outdir: str, n_repeats: int = 10, **kwargs) -> Dict:
+    """All repeats + aggregation; resumable via the per-stage pickles."""
+    os.makedirs(outdir, exist_ok=True)
+    per_repeat = []
+    for r in range(n_repeats):
+        per_repeat.append(run_repeat(r, outdir, **kwargs))
+    summary = aggregate(per_repeat)
+    with open(os.path.join(outdir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary

@@ -116,3 +116,163 @@ def run_vhem(key, results, labels, k: int = 2, s: int = 2,
     ri, _, _, _ = rand_index(lab, labels)
     return res, RecoveryScore(rand_index=ri, purity=purity(lab, labels),
                               best_k=k, best_s=s)
+
+
+# ---------------------------------------------------------------------------
+# Baseline model selection (evaluate_vbhem_jounarl.m) and the full
+# multi-method pipeline with per-stage checkpoints (exprmt1_demo.m)
+# ---------------------------------------------------------------------------
+
+def _vhem_expected_ll(res, nv: float) -> float:
+    """log_ests of the VHEM AIC/BIC criteria
+    (`evaluate_vbhem_jounarl.m:180-182`): the expected data
+    log-likelihood reconstructed from the soft assignments Z and the
+    per-pair lower bounds,
+      sum_ij Z_ij (log omega_j - log Z_ij + Nv * L_elbo_ij)
+    with omega_j = (1/Kb) sum_i Z_ij."""
+    z = np.asarray(res.z)
+    ll_elbo = np.asarray(res.ll_elbo)
+    omega = z.sum(axis=0) / z.shape[0]
+    return float(np.sum(z * (np.log(omega + 1e-300)[None, :]
+                             - np.log(z + 1e-50) + nv * ll_elbo)))
+
+
+def _num_params(k: int, s: int, d: int) -> int:
+    """Free parameters of a K-cluster, S-state, D-dim H3M
+    (`evaluate_vbhem_jounarl.m:180,215`)."""
+    return (k - 1) + k * ((s - 1) + s * (s - 1) + s * 2 * d)
+
+
+def run_vhem_grid(key, results, labels, k_grid=range(1, 7),
+                  s_grid=range(1, 6),
+                  config: Optional[HEMConfig] = None) -> Dict:
+    """VHEM over the (K,S) grid with AIC/BIC model selection
+    (`exprmt1_demo.m:114-148` + `evaluate_vbhem_jounarl.m:160-239`)."""
+    config = config or HEMConfig(trials=20, nv=100, tau=10)
+    base = vbhem.h3m_from_results(results, use_post=False)
+    kb = len(results)
+    d = np.asarray(results[0].model.mean).shape[-1]
+    n_bic = config.nv * kb * config.tau
+
+    ks, ss = list(k_grid), list(s_grid)
+    cells, aic, bic = {}, np.full((len(ks), len(ss)), np.inf), \
+        np.full((len(ks), len(ss)), np.inf)
+    for ki, k in enumerate(ks):
+        for si, s in enumerate(ss):
+            ck = jax.random.fold_in(jax.random.fold_in(key, ki), si)
+            res = vhem.cluster(ck, base, k, s, config)
+            cells[(k, s)] = res
+            log_ests = _vhem_expected_ll(res, config.nv)
+            aic[ki, si] = 2 * (k * s * (s + 2 * d) - 1) - 2 * log_ests
+            bic[ki, si] = (np.log(n_bic) * _num_params(k, s, d)
+                           - 2 * log_ests)
+
+    out = {"cells": cells, "aic": aic, "bic": bic,
+           "k_grid": ks, "s_grid": ss}
+    for crit, grid in (("aic", aic), ("bic", bic)):
+        ki, si = np.unravel_index(np.argmin(grid), grid.shape)
+        res = cells[(ks[ki], ss[si])]
+        lab = np.asarray(res.label)
+        out[crit + "_score"] = RecoveryScore(
+            rand_index=rand_index(lab, labels)[0],
+            purity=purity(lab, labels), best_k=ks[ki], best_s=ss[si])
+    return out
+
+
+def run_vbhem_dic(info: Dict, base, tau: int, labels) -> Dict:
+    """DIC model selection over the learned VBHEM grid cells
+    (`myDIC.m`; min-DIC selection of `evaluate_vbhem_jounarl.m:124-152`)."""
+    from ..models.dic import dic
+    ks = sorted({k for k, _ in info["model_all"]})
+    ss = sorted({s for _, s in info["model_all"]})
+    dics = np.full((len(ks), len(ss)), np.inf)
+    for ki, k in enumerate(ks):
+        for si, s in enumerate(ss):
+            if (k, s) in info["model_all"]:
+                _, dval = dic(base, info["model_all"][(k, s)], tau)
+                dics[ki, si] = dval
+    ki, si = np.unravel_index(np.argmin(dics), dics.shape)
+    res = info["model_all"][(ks[ki], ss[si])]
+    lab = np.asarray(res.label)
+    return {"dic": dics, "score": RecoveryScore(
+        rand_index=rand_index(lab, labels)[0], purity=purity(lab, labels),
+        best_k=ks[ki], best_s=ss[si])}
+
+
+def run_ccfd(key, results, labels, ds: Optional[SyntheticDataset] = None,
+             n_samples: int = 100) -> Dict:
+    """CCFD density-peak clustering on symmetric-KL distances
+    (`exprmt1_demo.m:155-178`).  K is selected automatically by the
+    outlier detection, S is the subject-HMM state count."""
+    from ..models import ccfd as ccfd_mod
+    hmms = [r.model for r in results]
+    data = ds.batches if ds is not None else None
+    res = ccfd_mod.ccfd(key, hmms, data=data, n_samples=n_samples)
+    lab = res.label
+    s = np.asarray(results[0].model.mean).shape[0]
+    return {"result": res, "score": RecoveryScore(
+        rand_index=rand_index(lab, labels)[0], purity=purity(lab, labels),
+        best_k=int(lab.max()) + 1, best_s=s)}
+
+
+def run_ppk_grid(key, banks_by_s: Dict[int, list], ds: SyntheticDataset,
+                 labels, k_grid=range(1, 7)) -> Dict:
+    """PPK spectral clustering over the (K,S) grid with AIC/BIC selection
+    from the held-in data log-likelihood
+    (`exprmt1_demo.m:180-258` + `evaluate_vbhem_jounarl.m:239-296`)."""
+    from ..models import ppk as ppk_mod
+    ks = list(k_grid)
+    ss = sorted(banks_by_s)
+    d = np.asarray(banks_by_s[ss[0]][0].model.mean).shape[-1]
+    t_mean = float(np.mean([np.asarray(b.lengths).mean()
+                            for b in ds.batches]))
+    n_obs = int(sum(np.asarray(b.lengths).sum() for b in ds.batches))
+
+    cells, ll_grid = {}, np.full((len(ks), len(ss)), -np.inf)
+    for si, s in enumerate(ss):
+        hmms = [r.model for r in banks_by_s[s]]
+        gram = ppk_mod.gram_matrix(hmms)
+        for ki, k in enumerate(ks):
+            ck = jax.random.fold_in(jax.random.fold_in(key, ki), si)
+            assign, centers, u = ppk_mod.spectral_cluster(ck, gram, k)
+            # cluster centers: the input HMM nearest each spectral centroid
+            center_idx = np.zeros((k,), np.int64)
+            for j in range(k):
+                members = np.where(assign == j)[0]
+                pool = members if len(members) else np.arange(len(hmms))
+                d2 = ((u[pool] - centers[j]) ** 2).sum(axis=1)
+                center_idx[j] = pool[int(np.argmin(d2))]
+            weight = np.array([(assign == j).mean() for j in range(k)])
+            # data log-likelihood under the mixture of center HMMs
+            # (exprmt1_demo.m:236-251)
+            ll = 0.0
+            per_seq = []
+            for j in range(k):
+                h = hmms[center_idx[j]]
+                per_seq.append(np.concatenate(
+                    [np.asarray(hmm_tools.loglik(b, h))
+                     for b in ds.batches]))
+            lls = np.stack(per_seq, axis=1)          # [n_seqs, K]
+            mix = np.log(weight + 1e-300)[None, :] + lls
+            mx = mix.max(axis=1)
+            ll = float(np.sum(mx + np.log(
+                np.exp(mix - mx[:, None]).sum(axis=1))))
+            cells[(k, s)] = {"label": assign, "center_idx": center_idx,
+                             "ll": ll}
+            ll_grid[ki, si] = ll
+
+    out = {"cells": cells, "ll": ll_grid, "k_grid": ks, "s_grid": ss}
+    for crit in ("aic", "bic"):
+        grid = np.full_like(ll_grid, np.inf)
+        for ki, k in enumerate(ks):
+            for si, s in enumerate(ss):
+                pars = _num_params(k, s, d)
+                pen = 2 * pars if crit == "aic" else np.log(n_obs) * pars
+                grid[ki, si] = -2 * ll_grid[ki, si] + pen
+        ki, si = np.unravel_index(np.argmin(grid), grid.shape)
+        lab = cells[(ks[ki], ss[si])]["label"]
+        out[crit] = grid
+        out[crit + "_score"] = RecoveryScore(
+            rand_index=rand_index(lab, labels)[0],
+            purity=purity(lab, labels), best_k=ks[ki], best_s=ss[si])
+    return out

@@ -239,6 +239,7 @@ class VHEMResult(NamedTuple):
     z: jnp.ndarray
     label: jnp.ndarray
     emit_counts: jnp.ndarray
+    ll_elbo: jnp.ndarray     # [Kb, Kr] per-pair expected LL (L_elbo1)
 
     @property
     def groups(self):
@@ -251,7 +252,7 @@ class VHEMResult(NamedTuple):
 def finalize(st: VHEMState) -> VHEMResult:
     return VHEMResult(h3m=st.h3m, ll=st.ll, z=st.z,
                       label=jnp.argmax(st.z, axis=-1),
-                      emit_counts=st.emit_counts)
+                      emit_counts=st.emit_counts, ll_elbo=st.ll_elbo)
 
 
 def fit_single_ks(key: jax.Array, base: H3M, kr: int, sr: int,
