@@ -737,10 +737,33 @@ def cluster(key: jax.Array, base: H3M, k, s,
 
     bi = np.unravel_index(np.argmax(scores), scores.shape)
     best_k, best_s = ks[bi[0]], ss[bi[1]]
+    from .vbhmm import _version
     info = {"model_ll": scores, "model_k": ks, "model_s": ss,
             "model_best_k": best_k, "model_best_s": best_s,
-            "model_all": results}
+            "model_all": results, "vbhemopt": config,
+            "version": _version()}
     return results[(best_k, best_s)], info
+
+
+def to_hmm_list(res: VBHEMResult, state_thresh: float = 1e-3):
+    """Reduced H3M -> list of per-cluster point-estimate HMMs with
+    low-count states pruned (`convert_h3m2hmms.m` + the per-HMM pruning
+    of `vbh3m_remove_empty.m:63-76`).  Host-side (ragged shapes)."""
+    import numpy as np
+    out = []
+    counts = np.asarray(res.counts)
+    for j in range(res.h3m.omega.shape[-1]):
+        keep = np.where(counts[j] >= state_thresh)[0]
+        if len(keep) == 0:
+            keep = np.asarray([int(np.argmax(counts[j]))])
+        p = np.asarray(res.h3m.hmm.prior[j])[keep]
+        a = np.asarray(res.h3m.hmm.trans[j])[np.ix_(keep, keep)]
+        p = p / p.sum()
+        a = a / np.maximum(a.sum(-1, keepdims=True), 1e-300)
+        out.append(HMM(prior=jnp.asarray(p), trans=jnp.asarray(a),
+                       mean=res.h3m.hmm.mean[j][jnp.asarray(keep)],
+                       cov=res.h3m.hmm.cov[j][jnp.asarray(keep)]))
+    return out
 
 
 def remove_empty_clusters(res: VBHEMResult, cluster_thresh: float = 1.0,

@@ -342,11 +342,12 @@ def learn(key: jax.Array, batch: SeqBatch, k, config: VBConfig = VBConfig(),
             [float(gammaln(kk + 1)) for kk in ks])
         best = int(np.argmax(corrected))
         info = {"model_ll": corrected, "model_k": ks,
-                "model_best_k": ks[best], "model_all": results}
+                "model_best_k": ks[best], "model_all": results,
+                "vbopt": config, "version": _version()}
         return results[best], info
 
     states = fit_single_k(key, batch, int(k), config, hyps)
-    info = {"model_best_k": int(k)}
+    info = {"model_best_k": int(k), "vbopt": config, "version": _version()}
     if config.learn_hyps:
         # dedup restart solutions by LL and hyp-optimize each unique one
         # (`vbhmm_learn.m:484-552`), then take the best final ELBO.
@@ -377,6 +378,13 @@ def learn(key: jax.Array, batch: SeqBatch, k, config: VBConfig = VBConfig(),
 # state standardization / permutation / pruning (vbhmm_standardize.m,
 # vbhmm_permute.m, vbhmm_remove_empty.m)
 # ---------------------------------------------------------------------------
+
+def _version() -> str:
+    """Version stamp carried in every output (`emhmm_version.m`,
+    `vbhmm_learn.m:651-654`)."""
+    from .. import __version__
+    return __version__
+
 
 def permute(res: VBHMMResult, perm: jnp.ndarray) -> VBHMMResult:
     """Apply a state permutation to every field (`vbhmm_permute.m`)."""
@@ -413,7 +421,8 @@ def _most_likely_path_order(prior: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarr
 def standardize(res: VBHMMResult, mode: str = "f") -> VBHMMResult:
     """Canonical state ordering (`vbhmm_standardize.m`): 'e' by emission
     count, 'p' by prior, 'f' by most-likely greedy path, 's' by
-    steady-state probability."""
+    steady-state probability, 'l'/'r' left-to-right / right-to-left by
+    emission mean x."""
     import numpy as np
     if mode in ("e",):
         perm = jnp.asarray(np.argsort(-np.asarray(res.counts), kind="stable"))
@@ -424,6 +433,12 @@ def standardize(res: VBHMMResult, mode: str = "f") -> VBHMMResult:
     elif mode == "s":
         ss = steady_state(res.model.trans)
         perm = jnp.asarray(np.argsort(-np.asarray(ss), kind="stable"))
+    elif mode in ("l", "r"):
+        # left-to-right / right-to-left by emission mean x
+        # (`vbhmm_standardize.m:96-104`)
+        mx = np.asarray(res.model.mean)[:, 0]
+        perm = jnp.asarray(np.argsort(mx if mode == "l" else -mx,
+                                      kind="stable"))
     else:
         raise ValueError(f"unknown standardize mode {mode!r}")
     return permute(res, perm)

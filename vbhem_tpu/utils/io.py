@@ -58,3 +58,24 @@ def batches_from_nested(data: Sequence[Sequence[np.ndarray]],
     `data{subj}{trial}` cell layout)."""
     return [pack_sequences([np.asarray(s) for s in subj], dtype=dtype,
                            t_max=t_max) for subj in data]
+
+
+def get_median_length(data) -> float:
+    """Median sequence length over nested data
+    (`src/util/get_median_length.m`); accepts SeqBatches, arrays, or
+    nested lists thereof.  Used to pick the virtual length tau."""
+    lengths: List[int] = []
+
+    def walk(obj):
+        if isinstance(obj, SeqBatch):
+            lengths.extend(int(v) for v in np.asarray(obj.lengths))
+        elif hasattr(obj, "shape") and getattr(obj, "ndim", 0) >= 2:
+            lengths.append(int(obj.shape[-2]))
+        elif isinstance(obj, (list, tuple)):
+            for o in obj:
+                walk(o)
+        else:
+            raise TypeError(f"cannot get lengths from {type(obj)}")
+
+    walk(data)
+    return float(np.median(lengths))

@@ -18,6 +18,11 @@ COLORS = ["tab:red", "tab:green", "tab:blue", "tab:orange", "tab:purple",
           "tab:cyan", "tab:olive", "tab:pink", "tab:brown", "tab:gray"]
 
 
+def _state_colors(k):
+    """Per-state color list (`get_color_list.m`)."""
+    return [COLORS[i % len(COLORS)] for i in range(k)]
+
+
 def _ellipse_points(mean, cov, n_std=2.0, n=100):
     t = np.linspace(0, 2 * np.pi, n)
     circ = np.stack([np.cos(t), np.sin(t)])
@@ -144,3 +149,54 @@ def plot_model_selection(ax, ll_grid, k_values, s_values=None):
         ax.set_ylabel("K")
         return im
     return ax
+
+
+def plot_emissions_dur(ax, hmm, n_std: float = 2.0):
+    """Duration-axis emission plot for 3-D (x, y, duration) models
+    (`src/plots/plot_emissions_dur.m`): per-state duration mean +/-
+    n_std as horizontal bars."""
+    import numpy as np
+    mean = np.asarray(hmm.mean)
+    cov = np.asarray(hmm.cov)
+    if mean.shape[-1] < 3:
+        raise ValueError("plot_emissions_dur needs 3-D emissions "
+                         "(x, y, duration)")
+    k = mean.shape[0]
+    colors = _state_colors(k)
+    for j in range(k):
+        mu = mean[j, 2]
+        sd = np.sqrt(cov[j, 2, 2])
+        ax.barh(j, 2 * n_std * sd, left=mu - n_std * sd, height=0.6,
+                color=colors[j], alpha=0.5, edgecolor=colors[j])
+        ax.plot([mu], [j], marker="|", color="k", markersize=14)
+    ax.set_yticks(range(k))
+    ax.set_yticklabels([f"S{j + 1}" for j in range(k)])
+    ax.set_xlabel("fixation duration")
+
+
+def plot_transcount(ax, trans_counts, cmap="Greens"):
+    """Transition-count heat matrix (`src/plots/plot_transcount.m`)."""
+    import numpy as np
+    m = np.asarray(trans_counts)
+    im = ax.imshow(m, cmap=cmap)
+    k = m.shape[0]
+    for i in range(k):
+        for j in range(k):
+            ax.text(j, i, f"{m[i, j]:.1f}", ha="center", va="center",
+                    fontsize=8)
+    ax.set_xticks(range(k)); ax.set_yticks(range(k))
+    ax.set_xlabel("to state"); ax.set_ylabel("from state")
+    ax.set_title("transition counts")
+    return im
+
+
+def plot_emcounts(ax, counts):
+    """Per-state emission-count bar plot (`src/plots/plot_emcounts.m`)."""
+    import numpy as np
+    c = np.asarray(counts)
+    k = c.shape[0]
+    ax.bar(range(k), c, color=_state_colors(k))
+    ax.set_xticks(range(k))
+    ax.set_xticklabels([f"S{j + 1}" for j in range(k)])
+    ax.set_ylabel("soft count N")
+    ax.set_title("emission counts")
