@@ -108,3 +108,15 @@ def test_vhem_gmmnew_init(bank):
     res = vhem.cluster(jax.random.key(3), base, 2, 2, cfg)
     ri, _, _, _ = rand_index(np.asarray(res.label), labels)
     assert ri == pytest.approx(1.0), np.asarray(res.label)
+
+
+def test_vhem_split_mode(bank):
+    """'split' incremental growing recovers the clustering
+    (`hem_h3m_c.m:91-226`)."""
+    hmms, labels = bank
+    base = vbhem.h3m_from_hmms(hmms)
+    cfg = HEMConfig(trials=1, nv=100, tau=10)
+    res = vhem.cluster_split(jax.random.key(0), base, 2, 2, cfg)
+    ri, _, _, _ = rand_index(np.asarray(res.label), labels)
+    assert ri == pytest.approx(1.0), np.asarray(res.label)
+    assert res.h3m.hmm.prior.shape == (2, 2)

@@ -286,3 +286,96 @@ def cluster(key: jax.Array, base: H3M, kr: int, sr: int,
     st = select_best_trial(fit_single_ks(key, base, kr, sr, config,
                                          initmode))
     return finalize(st)
+
+
+# ---------------------------------------------------------------------------
+# 'split' mode: incremental K/S growing (hem_h3m_c.m:91-226)
+# ---------------------------------------------------------------------------
+
+def _split_gauss(mean, cov, f: float = 1.0):
+    """Split one Gaussian along its principal axis
+    (`hem_h3m_c.m:340-365`, generalized from the diag case to full
+    covariances via the top eigenpair)."""
+    import numpy as np
+    vals, vecs = np.linalg.eigh(cov)
+    vmax, u = vals[-1], vecs[:, -1]
+    delta = np.sqrt(max(vmax, 0.0)) * u
+    new_cov = cov - (1.0 - 1.0 / (2.0 * f) ** 2) * vmax * np.outer(u, u)
+    return mean + f * delta, mean - f * delta, new_cov
+
+
+def cluster_split(key: jax.Array, base: H3M, kr: int, sr: int,
+                  config: HEMConfig = HEMConfig()) -> VHEMResult:
+    """'split' initialization: learn (K=1,S=1) from the global emission
+    average, then repeatedly split the heaviest cluster until K=kr, then
+    the most-used state of every cluster until S=sr, re-running the EM
+    after each split (`hem_h3m_c.m:91-226`)."""
+    import numpy as np
+    dtype = np.asarray(base.hmm.mean).dtype
+    d = base.hmm.mean.shape[-1]
+    maskf = np.asarray(base.state_mask, float)
+    n_emit = maskf.sum()
+
+    # global average emission (hem_h3m_c.m:113-121)
+    mean0 = (np.asarray(base.hmm.mean) * maskf[..., None]).sum((0, 1)) / n_emit
+    cov0 = (np.asarray(base.hmm.cov) * maskf[..., None, None]).sum((0, 1)) \
+        / n_emit
+
+    omega = np.ones((1,), dtype)
+    prior = np.ones((1, 1), dtype)
+    trans = np.ones((1, 1, 1), dtype)
+    means = mean0[None, None, :].astype(dtype)
+    covs = cov0[None, None, :, :].astype(dtype)
+
+    def em(omega, prior, trans, means, covs):
+        k, s = prior.shape
+        init = H3M(omega=jnp.asarray(omega),
+                   hmm=HMM(prior=jnp.asarray(prior),
+                           trans=jnp.asarray(trans),
+                           mean=jnp.asarray(means), cov=jnp.asarray(covs)),
+                   state_mask=jnp.ones((k, s), bool))
+        return vhem_em(base, init, config)
+
+    st = em(omega, prior, trans, means, covs)
+
+    # --- grow K by splitting the heaviest cluster (hem_h3m_c.m:145-171) ---
+    for kk in range(2, kr + 1):
+        omega = np.array(st.h3m.omega)
+        prior = np.array(st.h3m.hmm.prior)
+        trans = np.array(st.h3m.hmm.trans)
+        means = np.array(st.h3m.hmm.mean)
+        covs = np.array(st.h3m.hmm.cov)
+        j = int(np.argmax(omega))
+        m1, m2, c_new = _split_gauss(means[j, 0], covs[j, 0])
+        omega = np.concatenate([omega, [omega[j] / 2]]); omega[j] /= 2
+        prior = np.concatenate([prior, prior[j:j + 1]], axis=0)
+        trans = np.concatenate([trans, trans[j:j + 1]], axis=0)
+        means_new, covs_new = means[j:j + 1].copy(), covs[j:j + 1].copy()
+        means[j, 0], covs[j, 0] = m1, c_new
+        means_new[0, 0], covs_new[0, 0] = m2, c_new
+        means = np.concatenate([means, means_new], axis=0)
+        covs = np.concatenate([covs, covs_new], axis=0)
+        st = em(omega, prior, trans, means, covs)
+
+    # --- grow S by splitting the most-used state (hem_h3m_c.m:174-218) ---
+    for ss in range(2, sr + 1):
+        omega = np.array(st.h3m.omega)
+        means = np.array(st.h3m.hmm.mean)
+        covs = np.array(st.h3m.hmm.cov)
+        counts = np.array(st.emit_counts)
+        k = means.shape[0]
+        means2 = np.zeros((k, ss, d), dtype)
+        covs2 = np.tile(np.eye(d, dtype=dtype), (k, ss, 1, 1))
+        for j in range(k):
+            mi = int(np.argmax(counts[j]))
+            m1, m2, c_new = _split_gauss(means[j, mi], covs[j, mi])
+            means2[j, :ss - 1] = means[j]
+            covs2[j, :ss - 1] = covs[j]
+            means2[j, mi], covs2[j, mi] = m1, c_new
+            means2[j, ss - 1], covs2[j, ss - 1] = m2, c_new
+        # uniform prior/A after a state split (hem_h3m_c.m:210-213)
+        prior = np.full((k, ss), 1.0 / ss, dtype)
+        trans = np.full((k, ss, ss), 1.0 / ss, dtype)
+        st = em(omega, prior, trans, means2, covs2)
+
+    return finalize(st)
