@@ -403,6 +403,27 @@ def vbhem_em(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
     return jax.lax.while_loop(lambda st: ~st.done, body, st0)
 
 
+def em_trace(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
+             nv: int, tau: int, n_iter: int = 50):
+    """Run exactly ``n_iter`` EM iterations recording the ELBO after
+    each — the reference's `LogLs` iteration history / `story` trace
+    (`vbhem_h3m_c_step_fc.m:425`, `hem_h3m_c_step.m:76-96`).  Returns
+    (final posterior, ll_history [n_iter])."""
+    kb = base.num_hmms
+    tilde_n = (nv * kb) * base.omega
+
+    def step(post, _):
+        exps = reduced_expectations(post)
+        pair = e_step(base, post, exps, tau)
+        hat_z, z_ni, nj = soft_assignments(tilde_n, exps.log_omega,
+                                           pair.ll_elbo)
+        ll = elbo(post, exps, pair, hat_z, z_ni, nj, hyps)
+        stats = aggregate_stats(base, pair, z_ni, nj)
+        return m_step(stats, hyps), ll
+
+    return jax.lax.scan(step, init_post, None, length=n_iter)
+
+
 # ---------------------------------------------------------------------------
 # initializers (vbhemhmm_init.m)
 # ---------------------------------------------------------------------------

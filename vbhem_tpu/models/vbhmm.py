@@ -219,6 +219,21 @@ def vbem_em(batch: SeqBatch, init_post: HMMPosterior, hyps: VBHyps,
     return out
 
 
+def em_trace(batch: SeqBatch, init_post: HMMPosterior, hyps: VBHyps,
+             n_iter: int = 50):
+    """Run exactly ``n_iter`` VBEM iterations recording the ELBO after
+    each (the reference's iteration history; see also
+    `vbhmm_em.m:287-301` monotonicity warnings).  Returns
+    (final posterior, ll_history [n_iter])."""
+    def step(post, _):
+        fb = e_step(batch, post)
+        stats = suff_stats(batch, fb)
+        ll = elbo(batch, post, fb, stats, hyps)
+        return m_step(stats, hyps), ll
+
+    return jax.lax.scan(step, init_post, None, length=n_iter)
+
+
 def init_from_gmm(weight: jnp.ndarray, mean: jnp.ndarray, cov: jnp.ndarray,
                   n_total: jnp.ndarray, hyps: VBHyps) -> HMMPosterior:
     """GMM -> initial variational parameters (`vbhmm_init.m:163-199`)."""
