@@ -172,3 +172,25 @@ def test_fb_pallas_groups_and_vmap_fold():
                                np.asarray(want.xi_sum), atol=2e-5)
     np.testing.assert_allclose(np.asarray(got.phi_norm),
                                np.asarray(want.phi_norm), rtol=2e-6)
+
+
+def test_fb_assoc_matches_sequential():
+    """Associative-scan (log-depth) FB vs the sequential scan."""
+    from vbhem_tpu.ops.fb import forward_backward_assoc
+    rng = np.random.default_rng(7)
+    n, t_max, k = 6, 33, 4
+    lengths = rng.integers(2, t_max + 1, size=n); lengths[0] = t_max
+    mask = np.arange(t_max)[None, :] < lengths[:, None]
+    log_rho = rng.normal(size=(n, t_max, k)) * 3.0
+    log_pz1 = np.log(rng.dirichlet(np.ones(k))) - 0.2
+    log_trans = np.log(rng.dirichlet(np.ones(k), size=k)) - 0.2
+    args = (jnp.asarray(log_pz1), jnp.asarray(log_trans),
+            jnp.asarray(log_rho), jnp.asarray(mask))
+    want = forward_backward(*args)
+    got = forward_backward_assoc(*args)
+    np.testing.assert_allclose(np.asarray(got.gamma),
+                               np.asarray(want.gamma), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.xi_sum),
+                               np.asarray(want.xi_sum), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.phi_norm),
+                               np.asarray(want.phi_norm), rtol=1e-10)

@@ -145,3 +145,97 @@ def forward_backward(log_pz1: jnp.ndarray, log_trans: jnp.ndarray,
 
     return FBStats(log_rho=log_rho * maskf[..., None], gamma=gamma,
                    xi_sum=xi_sum, phi_norm=phi_norm)
+
+
+def forward_backward_assoc(log_pz1: jnp.ndarray, log_trans: jnp.ndarray,
+                           log_rho: jnp.ndarray, mask: jnp.ndarray) -> FBStats:
+    """Parallel-in-time FB via `lax.associative_scan` — log-depth over T
+    instead of the sequential scan, for long-sequence configurations
+    (SURVEY.md section 5: the alpha recursion is a normalized linear
+    recurrence over matrix products, so prefix/suffix products give
+    every alpha_t / beta_t in O(log T) depth).
+
+    Semantics identical to :func:`forward_backward` (same gamma, xi_sum,
+    phi_norm); masked steps contribute identity transition operators.
+    Work is O(T K^3) vs the sequential O(T K^2) — the right trade when
+    T is large and K small, which is exactly this model family.
+    """
+    n, t_max, k = log_rho.shape
+    dtype = log_rho.dtype
+    eye = jnp.eye(k, dtype=dtype)
+
+    pz1 = jnp.exp(log_pz1)
+    trans = jnp.exp(log_trans)
+    if pz1.ndim == 1:
+        pz1 = jnp.broadcast_to(pz1[None, :], (n, k))
+    if trans.ndim == 2:
+        trans = jnp.broadcast_to(trans[None], (n, k, k))
+
+    max_rho = jnp.max(log_rho, axis=-1)                      # [N, T]
+    px = jnp.exp(log_rho - max_rho[..., None])               # [N, T, K]
+    maskf = mask.astype(dtype)
+
+    # step operators M_t[i,j] = A[i,j] * b_t[j], identity on masked steps
+    # (t >= 1; t = 0 is the initial distribution row)
+    m_ops = trans[:, None, :, :] * px[:, 1:, None, :]        # [N,T-1,K,K]
+    m_ops = jnp.where(mask[:, 1:, None, None], m_ops,
+                      eye[None, None])
+
+    def combine(a, b):
+        m1, s1 = a
+        m2, s2 = b
+        prod = jnp.einsum("...ij,...jk->...ik", m1, m2)
+        scale = jnp.max(prod, axis=(-2, -1), keepdims=True)
+        scale = jnp.where(scale > 0, scale, 1.0)
+        return prod / scale, s1 + s2 + jnp.log(scale[..., 0, 0])
+
+    def combine_rev(a, b):
+        # reverse=True scans the flipped sequence, so compose right-to-
+        # left to recover products in original time order
+        m1, s1 = a
+        m2, s2 = b
+        prod = jnp.einsum("...ij,...jk->...ik", m2, m1)
+        scale = jnp.max(prod, axis=(-2, -1), keepdims=True)
+        scale = jnp.where(scale > 0, scale, 1.0)
+        return prod / scale, s1 + s2 + jnp.log(scale[..., 0, 0])
+
+    zeros = jnp.zeros(m_ops.shape[:2], dtype)
+    # prefix products P_t = M_2 ... M_{t+1}  (alpha_t = alpha_1 P_{t-1})
+    pre_m, pre_s = jax.lax.associative_scan(combine, (m_ops, zeros), axis=1)
+    # suffix products S_t = M_{t+1} ... M_T  (beta_t = S_t 1)
+    suf_m, suf_s = jax.lax.associative_scan(combine_rev, (m_ops, zeros),
+                                            axis=1, reverse=True)
+
+    # alpha (normalized rows)
+    alpha1 = pz1 * px[:, 0, :]                               # [N, K]
+    alpha_rest = jnp.einsum("nk,ntkj->ntj", alpha1, pre_m)   # [N,T-1,K]
+    alpha = jnp.concatenate([alpha1[:, None], alpha_rest], axis=1)
+    alpha_norm = jnp.sum(alpha, axis=-1, keepdims=True)
+    alpha_hat = alpha / jnp.where(alpha_norm > 0, alpha_norm, 1.0)
+
+    # log normalizer: log(alpha_1 . P_{T-1} . 1) + scales + max_rho shifts
+    phi_norm = (jnp.log(alpha_norm[:, -1, 0]) + pre_s[:, -1]
+                + jnp.sum(max_rho * maskf, axis=-1))
+
+    # beta (normalized) — beta_t = S_t @ 1 for t < T, ones at t = T-1
+    beta_rest = jnp.sum(suf_m, axis=-1)                      # [N,T-1,K]
+    beta = jnp.concatenate([beta_rest, jnp.ones((n, 1, k), dtype)], axis=1)
+    beta_norm = jnp.sum(beta, axis=-1, keepdims=True)
+    beta_hat = beta / jnp.where(beta_norm > 0, beta_norm, 1.0)
+
+    gamma = alpha_hat * beta_hat
+    gsum = jnp.sum(gamma, axis=-1, keepdims=True)
+    gamma = gamma / jnp.where(gsum > 0, gsum, 1.0)
+    gamma = gamma * maskf[..., None]
+
+    # xi_t (t -> t+1): alpha_t[i] A[i,j] b_{t+1}[j] beta_{t+1}[j], renorm
+    bb = px[:, 1:] * beta_hat[:, 1:]                         # [N,T-1,K]
+    xi = (alpha_hat[:, :-1, :, None] * trans[:, None]
+          * bb[:, :, None, :])                               # [N,T-1,K,K]
+    xi_norm = jnp.sum(xi, axis=(-2, -1), keepdims=True)
+    xi = xi / jnp.where(xi_norm > 0, xi_norm, 1.0)
+    xi = xi * maskf[:, 1:, None, None]
+    xi_sum = jnp.sum(xi, axis=1)
+
+    return FBStats(log_rho=log_rho * maskf[..., None], gamma=gamma,
+                   xi_sum=xi_sum, phi_norm=phi_norm)
