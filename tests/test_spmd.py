@@ -59,3 +59,22 @@ def test_sharded_step_matches_single_device(base8):
                                rtol=1e-12)
     for a, b in zip(jax.tree.leaves(new_posts), jax.tree.leaves(ref_posts)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+def test_sharded_trials_match_vmap(base8):
+    """Trials sharded over the mesh must produce the same ELBOs as the
+    single-device vmap (embarrassing parallelism, final argmax only)."""
+    from jax.sharding import Mesh
+    import numpy as np
+    cfg = VBHEMConfig(alpha0=1e6, m0=(1.5, 1.5), w0=1.0, nv=10, tau=5,
+                      trials=8, initmode="baseem", learn_hyps=False,
+                      max_iter=20)
+    hyps = vbhem.VBHEMHyps.from_config(cfg, 2)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
+                axis_names=("trial", "base"))
+    st_sharded = spmd.sharded_fit_trials(mesh, base8, 2, 2, cfg, hyps,
+                                         jax.random.key(3))
+    st_local = vbhem.fit_single_ks(jax.random.key(3), base8, 2, 2, cfg,
+                                   hyps, initmode="baseem")
+    np.testing.assert_allclose(np.asarray(st_sharded.ll),
+                               np.asarray(st_local.ll), rtol=1e-10)

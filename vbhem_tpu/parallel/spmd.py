@@ -78,3 +78,38 @@ def replicate_to_mesh(mesh: Mesh, tree):
     """Place a pytree fully replicated on the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def sharded_fit_trials(mesh: Mesh, base: H3M, kr: int, sr: int,
+                       config, hyps: vbhem.VBHEMHyps, key,
+                       initmode: Optional[str] = None):
+    """Full restart-trial fit with the trials axis sharded over the
+    'trial' mesh axis and the base bank replicated — the TPU-native form
+    of the reference's `parfor it=1:trials` (`vbhem_h3m_c.m:28`):
+    embarrassingly parallel, no communication until the final argmax.
+
+    Requires config.trials to be divisible by the mesh's trial axis.
+    Returns the vmapped VBHEMState with a leading trials axis, laid out
+    across devices.
+    """
+    n_trial = mesh.shape["trial"]
+    if config.trials % n_trial:
+        raise ValueError(f"trials={config.trials} not divisible by the "
+                         f"'trial' mesh axis ({n_trial})")
+    mode = initmode or config.initmode
+    if mode == "auto":
+        mode = "baseem"
+    init_fn = vbhem._INITIALIZERS[mode]
+
+    def one_trial(trial_key):
+        post0 = init_fn(trial_key, base, kr, sr, hyps, config.nv)
+        return vbhem.vbhem_em(base, post0, hyps, nv=config.nv,
+                              tau=config.tau, max_iter=config.max_iter,
+                              min_diff=config.min_diff)
+
+    keys = jax.random.split(key, config.trials)
+    key_sharding = NamedSharding(mesh, P("trial"))
+    keys = jax.device_put(keys, key_sharding)
+    fit = jax.jit(jax.vmap(one_trial),
+                  in_shardings=(key_sharding,))
+    return fit(keys)
