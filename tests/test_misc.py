@@ -135,3 +135,17 @@ def test_plots_smoke(two_dyn_batch, tmp_path):
     fig = plots.plot_vbhmm(res, batch=batch)
     fig.savefig(tmp_path / "hmm.png")
     assert (tmp_path / "hmm.png").stat().st_size > 0
+
+
+def test_phase_timer():
+    from vbhem_tpu.utils.profiling import PhaseTimer
+    import time as _t
+    pt = PhaseTimer()
+    with pt.phase("a"):
+        _t.sleep(0.01)
+    with pt.phase("a"):
+        _t.sleep(0.01)
+    with pt.phase("b"):
+        pass
+    assert pt.counts["a"] == 2 and pt.totals["a"] >= 0.02
+    assert "a" in pt.summary() and "b" in pt.summary()
