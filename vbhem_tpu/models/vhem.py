@@ -282,9 +282,22 @@ def cluster(key: jax.Array, base: H3M, kr: int, sr: int,
             initmode: Optional[str] = None) -> VHEMResult:
     """VHEM clustering for one (K, S) (`vhem_cluster.m`).  Identity
     shortcut when Kr == Kb is NOT applied here (the reference returns
-    the inputs unchanged in that case, `hem_h3m_c.m:19-25`)."""
-    st = select_best_trial(fit_single_ks(key, base, kr, sr, config,
-                                         initmode))
+    the inputs unchanged in that case, `hem_h3m_c.m:19-25`).
+
+    NaN-retry ladder (`hem_h3m_c.m:304-320`): if every restart is
+    unstable (ll = -inf), redo with fresh keys up to 5 times, then
+    switch the initializer to 'gmmNew' for up to 5 more; a model that
+    still failed is returned with ``given_up`` semantics (ll = -inf)."""
+    import numpy as np
+    mode = initmode or config.initmode
+    st = select_best_trial(fit_single_ks(key, base, kr, sr, config, mode))
+    redo = 0
+    while not np.isfinite(float(st.ll)) and redo < 10:
+        redo += 1
+        use_mode = mode if redo <= 5 else "gmmNew"
+        st = select_best_trial(fit_single_ks(
+            jax.random.fold_in(key, 1000 + redo), base, kr, sr, config,
+            use_mode))
     return finalize(st)
 
 

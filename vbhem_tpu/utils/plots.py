@@ -200,3 +200,19 @@ def plot_emcounts(ax, counts):
     ax.set_xticklabels([f"S{j + 1}" for j in range(k)])
     ax.set_ylabel("soft count N")
     ax.set_title("emission counts")
+
+
+def plot_ccfd_decision(ax, rho, delta, center_idx=None):
+    """CCFD decision graph — rho vs delta with the auto-selected centers
+    highlighted (`src/compare_mtds/ccfd/CCFD_plot.m`)."""
+    import numpy as np
+    rho, delta = np.asarray(rho), np.asarray(delta)
+    ax.scatter(rho, delta, s=18, color="tab:gray")
+    if center_idx is not None:
+        ci = np.asarray(center_idx)
+        ax.scatter(rho[ci], delta[ci], s=60, color="tab:red", marker="*",
+                   label="centers")
+        ax.legend(loc="best", fontsize=8)
+    ax.set_xlabel(r"density $\rho$")
+    ax.set_ylabel(r"distance $\delta$")
+    ax.set_title("CCFD decision graph")
