@@ -604,9 +604,50 @@ def init_gmmNew(key: jax.Array, base: H3M, kr: int, sr: int,
                         niw=NIW(beta=lam, v=v, m=m, w=w))
 
 
+def init_gmmNew2(key: jax.Array, base: H3M, kr: int, sr: int,
+                 hyps: VBHEMHyps, nv: int) -> H3MPosterior:
+    """'gmmNew2' (`vbhemhmm_init.m:103-291`, tmpK = Sr*Kr branch):
+    like gmmNew but reduces the pooled bank to Kr*Sr components and
+    gives each cluster its own random block of Sr Gaussians."""
+    from ..ops.gmm import mix_hier_em
+    dtype = base.hmm.mean.dtype
+    kb, sb_max = base.state_mask.shape
+    d = base.hmm.mean.shape[-1]
+    nv_total = nv * kb
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    red, _ = mix_hier_em(k1, base.hmm.mean.reshape(kb * sb_max, d),
+                         base.hmm.cov.reshape(kb * sb_max, d, d),
+                         base.state_mask.reshape(-1).astype(dtype),
+                         kr * sr, nv=nv)
+    # random permutation -> [Kr, Sr] assignment of reduced Gaussians
+    use = jax.random.permutation(k2, kr * sr).reshape(kr, sr)
+    m = red.mean[use]                                          # [Kr,Sr,D]
+    covs = red.cov[use]
+
+    omega = jax.random.uniform(k3, (kr,), dtype)
+    omega = omega / jnp.sum(omega)
+    nsj = omega * nv_total
+    nsj_rho = jnp.broadcast_to(nsj[:, None] / sr, (kr, sr))
+    v = hyps.v0 + nsj_rho + 1.0
+    lam = hyps.lambda0 + nsj_rho
+    w = _emission_w_from_cov(covs, v)
+
+    kp, ka = jax.random.split(k4)
+    prior = jax.random.uniform(kp, (kr, sr), dtype)
+    prior = prior / jnp.sum(prior, -1, keepdims=True)
+    a = jax.random.uniform(ka, (kr, sr, sr), dtype)
+    a = a / jnp.sum(a, -1, keepdims=True)
+    return H3MPosterior(alpha=hyps.alpha0 + nsj,
+                        eta=prior * nsj[:, None] + hyps.eta0,
+                        epsilon=a * nsj[:, None, None] + hyps.epsilon0,
+                        niw=NIW(beta=lam, v=v, m=m, w=w))
+
+
 _INITIALIZERS = {
     "baseem": init_baseem,
     "gmmNew": init_gmmNew,
+    "gmmNew2": init_gmmNew2,
     "wtkmeans": init_wtkmeans,
     "random": init_random,
 }
