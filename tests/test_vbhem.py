@@ -173,3 +173,64 @@ def test_gmmnew_init_clusters_synthetic(base, learned_bank):
     lab = np.asarray(res.label)
     ri = rand_index(lab, labels)[0]
     assert ri > 0.9, (ri, lab)
+
+
+def test_masked_padded_em_equals_unpadded(base, vbhem_cfg):
+    """The single-program padded sweep's masked EM at (Kmax,Smax) with a
+    (K,S) mask must reproduce the unpadded EM exactly (same init)."""
+    import dataclasses
+    import jax.numpy as jnp
+    cfg = dataclasses.replace(vbhem_cfg, max_iter=15)
+    hyps = vbhem.VBHEMHyps.from_config(cfg, 2)
+    k, s, kmax, smax = 2, 2, 4, 3
+    post0 = vbhem.init_baseem(jax.random.key(5), base, k, s, hyps, cfg.nv)
+
+    st_ref = vbhem.vbhem_em(base, post0, hyps, nv=cfg.nv, tau=cfg.tau,
+                            max_iter=cfg.max_iter, min_diff=cfg.min_diff)
+
+    # pad the SAME init with inert (prior-valued) slots
+    d = 2
+    def pad2(a, fill):
+        out = jnp.full((kmax, smax) + a.shape[2:], fill, a.dtype)
+        return out.at[:k, :s].set(a)
+    alpha = jnp.full((kmax,), hyps.alpha0).at[:k].set(post0.alpha)
+    eta = pad2(post0.eta, hyps.eta0)
+    eps = jnp.full((kmax, smax, smax), hyps.epsilon0,
+                   post0.epsilon.dtype).at[:k, :s, :s].set(post0.epsilon)
+    m = jnp.broadcast_to(hyps.m0, (kmax, smax, d)).at[:k, :s].set(
+        post0.niw.m)
+    w_fill = jnp.broadcast_to(jnp.eye(d) * hyps.w0[0], (kmax, smax, d, d))
+    w = w_fill.at[:k, :s].set(post0.niw.w)
+    from vbhem_tpu.containers import H3MPosterior, NIW
+    post0_p = H3MPosterior(
+        alpha=alpha, eta=eta, epsilon=eps,
+        niw=NIW(beta=pad2(post0.niw.beta, hyps.lambda0),
+                v=pad2(post0.niw.v, hyps.v0 + d + 1.0), m=m, w=w))
+
+    cmask = jnp.arange(kmax) < k
+    smask = jnp.arange(smax) < s
+    st_pad = vbhem.vbhem_em_masked(base, post0_p, hyps, nv=cfg.nv,
+                                   tau=cfg.tau, cmask=cmask, smask=smask,
+                                   max_iter=cfg.max_iter,
+                                   min_diff=cfg.min_diff)
+    np.testing.assert_allclose(float(st_pad.ll), float(st_ref.ll),
+                               rtol=1e-9)
+    assert int(st_pad.it) == int(st_ref.it)
+    np.testing.assert_allclose(np.asarray(st_pad.hat_z[:, :k]),
+                               np.asarray(st_ref.hat_z), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st_pad.post.niw.m[:k, :s]),
+                               np.asarray(st_ref.post.niw.m), atol=1e-8)
+
+
+def test_cluster_batched_matches_grid(base, learned_bank):
+    """Single-program sweep selects the same (K,S) and labels as the
+    per-cell path on the synthetic bank."""
+    _, labels = learned_bank
+    cfg = VBHEMConfig(alpha0=1e6, m0=(1.5, 1.5), w0=1.0, trials=6,
+                      nv=100, tau=50, initmode="baseem",
+                      learn_hyps=False)
+    res, info = vbhem.cluster_batched(jax.random.key(11), base,
+                                      [1, 2, 3], [1, 2], cfg)
+    assert info["model_best_k"] == 2 and info["model_best_s"] == 2, info
+    ri = rand_index(np.asarray(res.label), labels)[0]
+    assert ri == pytest.approx(1.0), np.asarray(res.label)

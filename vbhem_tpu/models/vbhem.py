@@ -853,3 +853,234 @@ def remove_empty_clusters(res: VBHEMResult, cluster_thresh: float = 1.0,
         label=jnp.argmax(hat_z, axis=-1),
         counts_n1=res.counts_n1[perm], counts=res.counts[perm],
         trans_counts=res.trans_counts[perm])
+
+
+# ---------------------------------------------------------------------------
+# Single-program padded (K,S) sweep (SURVEY.md section 7.1: the grid as a
+# flat batch of masked cells — ONE compile for the whole model-selection
+# sweep, cells x trials vmapped/shardable, instead of one XLA program per
+# (K,S) cell)
+# ---------------------------------------------------------------------------
+
+def reduced_expectations_masked(post: H3MPosterior, cmask: jnp.ndarray,
+                                smask: jnp.ndarray) -> ReducedExpectations:
+    """Digamma expectations of a PADDED reduced model: normalizers run
+    over active entries only; masked entries carry a large-negative
+    finite score so every downstream exp() is exactly zero."""
+    from ..utils.numeric import masked_e_log_dirichlet
+    sm = smask[None, :]
+    return ReducedExpectations(
+        log_omega=masked_e_log_dirichlet(post.alpha, cmask),
+        log_pi=masked_e_log_dirichlet(post.eta, sm),
+        log_a=masked_e_log_dirichlet(post.epsilon, smask[None, None, :]),
+        log_lam=e_log_det_lambda(post.niw.v, post.niw.w))
+
+
+def elbo_masked(post: H3MPosterior, exps: ReducedExpectations,
+                pair: PairStats, hat_z: jnp.ndarray, z_ni: jnp.ndarray,
+                nj: jnp.ndarray, hyps: VBHEMHyps, cmask: jnp.ndarray,
+                smask: jnp.ndarray) -> jnp.ndarray:
+    """The 10-term bound over the ACTIVE sub-grid of a padded cell —
+    numerically equal to :func:`elbo` on the unpadded (K, S) model."""
+    from ..utils.numeric import masked_log_dirichlet_const
+    dtype = hat_z.dtype
+    d = post.niw.dim
+    niw = post.niw
+    two_pi = jnp.asarray(2.0 * jnp.pi, dtype)
+    cm = cmask.astype(dtype)                                  # [K]
+    sm = smask.astype(dtype)                                  # [S]
+    cs = cm[:, None] * sm[None, :]                            # [K,S]
+    css = cs[:, :, None] * sm[None, None, :]                  # [K,S,S]
+    kr_a = jnp.sum(cm)
+    sr_a = jnp.sum(sm)
+
+    logdet_w0inv = jnp.sum(jnp.log(hyps.w0inv_diag))
+    log_c_alpha0 = gammaln(kr_a * hyps.alpha0) - kr_a * gammaln(hyps.alpha0)
+    log_c_eta0 = gammaln(sr_a * hyps.eta0) - sr_a * gammaln(hyps.eta0)
+    log_c_eps0 = gammaln(sr_a * hyps.epsilon0) \
+        - sr_a * gammaln(hyps.epsilon0)
+    log_b0 = log_wishart_b(logdet_w0inv, hyps.v0, d)
+
+    lt1 = jnp.sum(cm[None, :] * z_ni * pair.ll_elbo)
+    lt7 = jnp.sum(cm[None, :] * hat_z * jnp.log(hat_z))
+    lt2 = jnp.sum(cm * nj * exps.log_omega)
+    lt3 = kr_a * log_c_eta0 + (hyps.eta0 - 1.0) * jnp.sum(cs * exps.log_pi)
+    lt4 = kr_a * sr_a * log_c_eps0 \
+        + (hyps.epsilon0 - 1.0) * jnp.sum(css * exps.log_a)
+
+    dm = niw.m - hyps.m0
+    m_w_m = jnp.einsum("jrd,jrde,jre->jr", dm, niw.w, dm)
+    w0inv_diag = hyps.w0inv_diag.astype(dtype)
+    tr_w0inv_w = jnp.einsum("d,jrdd->jr", w0inv_diag, niw.w)
+    const2 = d * jnp.log(hyps.lambda0 / two_pi)
+    lt51 = 0.5 * jnp.sum(cs * (const2 + exps.log_lam
+                               - d * hyps.lambda0 / niw.beta
+                               - hyps.lambda0 * niw.v * m_w_m))
+    lt52 = (kr_a * sr_a * log_b0
+            + 0.5 * (hyps.v0 - d - 1.0) * jnp.sum(cs * exps.log_lam)
+            - 0.5 * jnp.sum(cs * niw.v * tr_w0inv_w))
+    lt5 = lt51 + lt52
+
+    lt6 = log_c_alpha0 + (hyps.alpha0 - 1.0) * jnp.sum(cm * exps.log_omega)
+    lt8 = masked_log_dirichlet_const(post.alpha, cmask) \
+        + jnp.sum(cm * (post.alpha - 1.0) * exps.log_omega)
+    lt9 = (jnp.sum(cm * masked_log_dirichlet_const(post.eta,
+                                                   smask[None, :]))
+           + jnp.sum(cs * (post.eta - 1.0) * exps.log_pi)
+           + jnp.sum(cs * masked_log_dirichlet_const(
+               post.epsilon, smask[None, None, :]))
+           + jnp.sum(css * (post.epsilon - 1.0) * exps.log_a))
+
+    log_bk = log_wishart_b(-logdet_psd(niw.w), niw.v, d)
+    h_ent = jnp.sum(cs * (-log_bk - 0.5 * (niw.v - d - 1.0) * exps.log_lam
+                          + 0.5 * niw.v * d))
+    lt10 = 0.5 * jnp.sum(cs * (exps.log_lam
+                               + d * jnp.log(niw.beta / two_pi))) \
+        - 0.5 * d * kr_a * sr_a - h_ent
+
+    return lt1 + lt2 + lt3 + lt4 + lt5 + lt6 - lt7 - lt8 - lt9 - lt10
+
+
+def vbhem_em_masked(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
+                    nv: int, tau: int, cmask: jnp.ndarray,
+                    smask: jnp.ndarray, max_iter: int = 200,
+                    min_diff: float = 1e-5) -> VBHEMState:
+    """:func:`vbhem_em` over a PADDED (Kmax, Smax) cell: cluster/state
+    masks confine all probability mass to the active sub-grid, so every
+    (K, S) grid cell runs as the same compiled program."""
+    dtype = base.hmm.mean.dtype
+    kb = base.num_hmms
+    tilde_n = (nv * kb) * base.omega
+    big_neg = jnp.asarray(-jnp.finfo(dtype).max, dtype)
+
+    def body(st: VBHEMState) -> VBHEMState:
+        exps = reduced_expectations_masked(st.post, cmask, smask)
+        pair = e_step(base, st.post, exps, tau)
+        hat_z, z_ni, nj = soft_assignments(tilde_n, exps.log_omega,
+                                           pair.ll_elbo)
+        ll = elbo_masked(st.post, exps, pair, hat_z, z_ni, nj, hyps,
+                         cmask, smask)
+        unstable = jnp.isnan(ll)
+        ll = jnp.where(unstable, -jnp.inf, ll)
+        lik_incr = jnp.abs((ll - st.ll) / st.ll)
+        converged = jnp.logical_and(st.it > 0, lik_incr <= min_diff)
+        done = converged | unstable | (st.it + 1 >= max_iter)
+        stats = aggregate_stats(base, pair, z_ni, nj)
+        new_post = m_step(stats, hyps)
+        new_post = jax.tree.map(
+            lambda new, old: jnp.where(unstable, old, new), new_post,
+            st.post)
+        return VBHEMState(post=new_post, ll=ll, last_ll=st.ll,
+                          it=st.it + 1, hat_z=hat_z,
+                          ll_elbo=pair.ll_elbo, stats=stats, done=done)
+
+    kr, sr = init_post.num_clusters, init_post.num_states
+    d = init_post.niw.dim
+    st0 = VBHEMState(
+        post=init_post, ll=big_neg, last_ll=big_neg, it=jnp.asarray(0),
+        hat_z=jnp.zeros((kb, kr), dtype),
+        ll_elbo=jnp.zeros((kb, kr), dtype),
+        stats=ClusterStats(
+            nj=jnp.zeros((kr,), dtype), nj_rho1=jnp.zeros((kr, sr), dtype),
+            nj_rho2rho=jnp.zeros((kr, sr, sr), dtype),
+            nj_rho=jnp.zeros((kr, sr), dtype),
+            y_bar=jnp.zeros((kr, sr, d), dtype),
+            s_plus_c=jnp.zeros((kr, sr, d, d), dtype)),
+        done=jnp.asarray(False))
+    return jax.lax.while_loop(lambda st: ~st.done, body, st0)
+
+
+def fit_grid_batched(key: jax.Array, base: H3M, ks, ss,
+                     config: VBHEMConfig, hyps: VBHEMHyps,
+                     initmode: Optional[str] = None):
+    """The whole (K,S) x trials sweep as ONE compiled program.
+
+    Every cell is padded to (max K, max S) with cluster/state masks and
+    all cells x trials are vmapped together.  Returns
+    (per-cell-and-trial VBHEMState with leading [n_cells, trials] axes,
+    cells list, cmasks, smasks).  Compile count: 1 (vs len(ks)*len(ss)
+    for the per-cell path) — the sweep is also shardable across devices
+    by the leading axis.
+    """
+    import numpy as np
+    ks, ss = list(ks), list(ss)
+    kmax, smax = max(ks), max(ss)
+    cells = [(k, s) for k in ks for s in ss]
+    cmasks = jnp.asarray(np.stack(
+        [np.arange(kmax) < k for k, _ in cells]))
+    smasks = jnp.asarray(np.stack(
+        [np.arange(smax) < s for _, s in cells]))
+
+    mode = initmode or config.initmode
+    if mode == "auto":
+        mode = "baseem"
+    init_fn = _INITIALIZERS[mode]
+
+    def one(cell_key, cmask, smask):
+        post0 = init_fn(cell_key, base, kmax, smax, hyps, config.nv)
+        return vbhem_em_masked(base, post0, hyps, nv=config.nv,
+                               tau=config.tau, cmask=cmask, smask=smask,
+                               max_iter=config.max_iter,
+                               min_diff=config.min_diff)
+
+    n_cells = len(cells)
+    keys = jax.random.split(key, (n_cells, config.trials))
+    run = jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None, None)),
+                           in_axes=(0, 0, 0)))
+    states = run(keys, cmasks, smasks)
+    return states, cells, cmasks, smasks
+
+
+def cluster_batched(key: jax.Array, base: H3M, k, s,
+                    config: VBHEMConfig = VBHEMConfig(),
+                    hyps: Optional[VBHEMHyps] = None):
+    """(K,S) model selection via the single-program padded sweep.
+    Same selection rule and return contract as :func:`cluster` (without
+    per-solution hyp re-optimization), one compile for the whole grid."""
+    import numpy as np
+    ks = list(k) if isinstance(k, (list, tuple, range)) else [int(k)]
+    ss = list(s) if isinstance(s, (list, tuple, range)) else [int(s)]
+    dim = base.hmm.mean.shape[-1]
+    hyps0 = hyps if hyps is not None else VBHEMHyps.from_config(
+        config, dim, base.hmm.mean.dtype)
+
+    states, cells, cmasks, smasks = fit_grid_batched(key, base, ks, ss,
+                                                     config, hyps0)
+    lls = np.asarray(states.ll)                       # [n_cells, trials]
+    best_trial = lls.argmax(axis=1)
+    scores = np.full((len(ks), len(ss)), -np.inf)
+    results = {}
+    for ci, (kk, sv) in enumerate(cells):
+        st = jax.tree.map(lambda a, ci=ci: a[ci, best_trial[ci]], states)
+        # slice the padded state down to the active (K, S) sub-grid
+        ksl, ssl = jnp.arange(kk), jnp.arange(sv)
+        post = H3MPosterior(
+            alpha=st.post.alpha[ksl],
+            eta=st.post.eta[ksl][:, ssl],
+            epsilon=st.post.epsilon[ksl][:, ssl][:, :, ssl],
+            niw=NIW(beta=st.post.niw.beta[ksl][:, ssl],
+                    v=st.post.niw.v[ksl][:, ssl],
+                    m=st.post.niw.m[ksl][:, ssl],
+                    w=st.post.niw.w[ksl][:, ssl]))
+        stats = st.stats
+        res = VBHEMResult(
+            post=post, h3m=post.to_h3m(), ll=st.ll,
+            hat_z=st.hat_z[:, ksl], ll_elbo=st.ll_elbo[:, ksl],
+            nj=stats.nj[ksl],
+            label=jnp.argmax(st.hat_z[:, ksl], axis=-1),
+            counts_n1=stats.nj_rho1[ksl][:, ssl],
+            counts=stats.nj_rho[ksl][:, ssl],
+            trans_counts=stats.nj_rho2rho[ksl][:, ssl][:, :, ssl])
+        results[(kk, sv)] = res
+        ki, si = ks.index(kk), ss.index(sv)
+        scores[ki, si] = float(st.ll) + float(gammaln(kk + 1)) \
+            + float(gammaln(sv + 1))
+
+    bi = np.unravel_index(np.argmax(scores), scores.shape)
+    best_k, best_s = ks[bi[0]], ss[bi[1]]
+    from .vbhmm import _version
+    info = {"model_ll": scores, "model_k": ks, "model_s": ss,
+            "model_best_k": best_k, "model_best_s": best_s,
+            "model_all": results, "vbhemopt": config,
+            "version": _version()}
+    return results[(best_k, best_s)], info

@@ -123,3 +123,24 @@ def logdet_psd(a: jnp.ndarray) -> jnp.ndarray:
     chol = jnp.linalg.cholesky(a)
     diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
     return 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+
+
+def masked_e_log_dirichlet(conc: jnp.ndarray, mask: jnp.ndarray,
+                           axis=-1, big: float = 1e30) -> jnp.ndarray:
+    """E[log pi_k] over the ACTIVE entries of a padded Dirichlet: the
+    normalizer sums active concentrations only; masked entries get -big
+    (finite, so downstream exp() is exactly 0 without inf arithmetic).
+    Used by the single-program padded (K,S) sweep."""
+    conc_safe = jnp.where(mask, conc, 1.0)
+    total = jnp.sum(jnp.where(mask, conc, 0.0), axis=axis, keepdims=True)
+    val = digamma(conc_safe) - digamma(total)
+    return jnp.where(mask, val, jnp.asarray(-big, conc.dtype))
+
+
+def masked_log_dirichlet_const(conc: jnp.ndarray, mask: jnp.ndarray,
+                               axis=-1) -> jnp.ndarray:
+    """log C(conc) over the active entries of a padded Dirichlet."""
+    conc_safe = jnp.where(mask, conc, 1.0)
+    total = jnp.sum(jnp.where(mask, conc, 0.0), axis=axis)
+    return gammaln(total) - jnp.sum(
+        jnp.where(mask, gammaln(conc_safe), 0.0), axis=axis)
