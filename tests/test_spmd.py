@@ -78,3 +78,23 @@ def test_sharded_trials_match_vmap(base8):
                                    hyps, initmode="baseem")
     np.testing.assert_allclose(np.asarray(st_sharded.ll),
                                np.asarray(st_local.ll), rtol=1e-10)
+
+
+def test_sharded_grid_sweep_matches_local(base8):
+    """The mesh-sharded padded sweep equals the single-device batched
+    sweep (same keys -> same per-cell/trial ELBOs)."""
+    from jax.sharding import Mesh
+    import numpy as np
+    cfg = VBHEMConfig(alpha0=1e6, m0=(1.5, 1.5), w0=1.0, nv=10, tau=5,
+                      trials=8, initmode="baseem", learn_hyps=False,
+                      max_iter=15)
+    hyps = vbhem.VBHEMHyps.from_config(cfg, 2)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
+                axis_names=("trial", "base"))
+    st_sh, cells, _, _ = spmd.sharded_grid_sweep(
+        mesh, base8, [1, 2], [2], cfg, hyps, jax.random.key(4))
+    st_lo, cells2, _, _ = vbhem.fit_grid_batched(
+        jax.random.key(4), base8, [1, 2], [2], cfg, hyps)
+    assert cells == cells2
+    np.testing.assert_allclose(np.asarray(st_sh.ll),
+                               np.asarray(st_lo.ll), rtol=1e-10)

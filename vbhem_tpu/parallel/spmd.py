@@ -113,3 +113,52 @@ def sharded_fit_trials(mesh: Mesh, base: H3M, kr: int, sr: int,
     fit = jax.jit(jax.vmap(one_trial),
                   in_shardings=(key_sharding,))
     return fit(keys)
+
+
+def sharded_grid_sweep(mesh: Mesh, base: H3M, ks, ss, config,
+                       hyps: vbhem.VBHEMHyps, key,
+                       initmode: Optional[str] = None):
+    """The single-program padded (K,S) sweep with the TRIALS axis laid
+    out over the 'trial' mesh axis (cells replicated in the program's
+    leading axis, trials device-parallel).  One compile for the entire
+    model-selection grid across the whole mesh — the TPU-native form of
+    the reference's nested grid recursion + parfor
+    (`vbhem_h3m_cluster.m:261-354`, `vbhem_h3m_c.m:28`).
+
+    Requires config.trials divisible by the trial axis size.  Returns
+    the same (states, cells, cmasks, smasks) as
+    :func:`..models.vbhem.fit_grid_batched`.
+    """
+    import numpy as np
+    n_trial = mesh.shape["trial"]
+    if config.trials % n_trial:
+        raise ValueError(f"trials={config.trials} not divisible by "
+                         f"'trial' axis ({n_trial})")
+    ks, ss = list(ks), list(ss)
+    kmax, smax = max(ks), max(ss)
+    cells = [(k, s) for k in ks for s in ss]
+    cmasks = jnp.asarray(np.stack([np.arange(kmax) < k for k, _ in cells]))
+    smasks = jnp.asarray(np.stack([np.arange(smax) < s for _, s in cells]))
+
+    mode = initmode or config.initmode
+    if mode == "auto":
+        mode = "baseem"
+    init_fn = vbhem._INITIALIZERS[mode]
+
+    def one(cell_key, cmask, smask):
+        post0 = init_fn(cell_key, base, kmax, smax, hyps, config.nv)
+        return vbhem.vbhem_em_masked(base, post0, hyps, nv=config.nv,
+                                     tau=config.tau, cmask=cmask,
+                                     smask=smask,
+                                     max_iter=config.max_iter,
+                                     min_diff=config.min_diff)
+
+    keys = jax.random.split(key, (len(cells), config.trials))
+    key_sharding = NamedSharding(mesh, P(None, "trial"))
+    keys = jax.device_put(keys, key_sharding)
+    run = jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None, None)),
+                           in_axes=(0, 0, 0)),
+                  in_shardings=(key_sharding, NamedSharding(mesh, P()),
+                                NamedSharding(mesh, P())))
+    states = run(keys, cmasks, smasks)
+    return states, cells, cmasks, smasks
