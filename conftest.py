@@ -8,6 +8,11 @@ are captured before conftest runs; we must go through jax.config.
 """
 import os
 
+# The shared persistent compilation cache is for single-process runs
+# (bench, experiment runner); concurrent pytest workers + other jobs
+# racing on it can corrupt entries, so disable it under tests.
+os.environ.setdefault("VBHEM_TPU_NO_COMPILE_CACHE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
