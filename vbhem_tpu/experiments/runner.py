@@ -98,72 +98,84 @@ def run_repeat(repeat: int, outdir: str,
 
     # ---- VBHEM over the (K,S) grid (exprmt1_demo.m:64-108) ----
     if "vbhem" in methods:
-        st = _load(outdir, repeat, "vbhem")
-        if st is None:
-            t0 = time.time()
-            log("VBHEM grid")
-            res, info, score = syn.run_vbhem(
-                jax.random.fold_in(key, 1), results, labels,
-                k_grid=k_grid, s_grid=s_grid, config=vbhem_config)
-            base = syn.vbhem.h3m_from_results(
-                results, use_post=(vbhem_config or
-                                   syn.default_vbhem_config()).use_post)
-            cfg = vbhem_config or syn.default_vbhem_config()
-            dic_out = syn.run_vbhem_dic(info, base, cfg.tau, labels)
-            st = {"score": score, "dic_score": dic_out["score"],
-                  "dic": dic_out["dic"], "model_ll": info["model_ll"],
-                  "elapsed": time.time() - t0}
-            _save(outdir, repeat, "vbhem", st)
-        scores["vbhem"] = st["score"]
-        scores["vbhem_dic"] = st["dic_score"]
-        timings["vbhem"] = st["elapsed"]
-
+        try:
+            st = _load(outdir, repeat, "vbhem")
+            if st is None:
+                t0 = time.time()
+                log("VBHEM grid")
+                res, info, score = syn.run_vbhem(
+                    jax.random.fold_in(key, 1), results, labels,
+                    k_grid=k_grid, s_grid=s_grid, config=vbhem_config)
+                base = syn.vbhem.h3m_from_results(
+                    results, use_post=(vbhem_config or
+                                       syn.default_vbhem_config()).use_post)
+                cfg = vbhem_config or syn.default_vbhem_config()
+                dic_out = syn.run_vbhem_dic(info, base, cfg.tau, labels)
+                st = {"score": score, "dic_score": dic_out["score"],
+                      "dic": dic_out["dic"], "model_ll": info["model_ll"],
+                      "elapsed": time.time() - t0}
+                _save(outdir, repeat, "vbhem", st)
+            scores["vbhem"] = st["score"]
+            scores["vbhem_dic"] = st["dic_score"]
+            timings["vbhem"] = st["elapsed"]
+        except Exception as e:  # noqa: BLE001 — stage isolation
+            log(f"vbhem FAILED: {e!r}")
+            timings["vbhem_error"] = repr(e)
     # ---- VHEM grid + AIC/BIC (exprmt1_demo.m:114-148) ----
     if "vhem" in methods:
-        st = _load(outdir, repeat, "vhem")
-        if st is None:
-            t0 = time.time()
-            log("VHEM grid")
-            out = syn.run_vhem_grid(jax.random.fold_in(key, 2), results,
-                                    labels, k_grid=k_grid, s_grid=s_grid,
-                                    config=hem_config)
-            st = {"aic_score": out["aic_score"],
-                  "bic_score": out["bic_score"], "aic": out["aic"],
-                  "bic": out["bic"], "elapsed": time.time() - t0}
-            _save(outdir, repeat, "vhem", st)
-        scores["vhem_aic"] = st["aic_score"]
-        scores["vhem_bic"] = st["bic_score"]
-        timings["vhem"] = st["elapsed"]
-
+        try:
+            st = _load(outdir, repeat, "vhem")
+            if st is None:
+                t0 = time.time()
+                log("VHEM grid")
+                out = syn.run_vhem_grid(jax.random.fold_in(key, 2), results,
+                                        labels, k_grid=k_grid, s_grid=s_grid,
+                                        config=hem_config)
+                st = {"aic_score": out["aic_score"],
+                      "bic_score": out["bic_score"], "aic": out["aic"],
+                      "bic": out["bic"], "elapsed": time.time() - t0}
+                _save(outdir, repeat, "vhem", st)
+            scores["vhem_aic"] = st["aic_score"]
+            scores["vhem_bic"] = st["bic_score"]
+            timings["vhem"] = st["elapsed"]
+        except Exception as e:  # noqa: BLE001 — stage isolation
+            log(f"vhem FAILED: {e!r}")
+            timings["vhem_error"] = repr(e)
     # ---- CCFD (exprmt1_demo.m:155-178) ----
     if "ccfd" in methods:
-        st = _load(outdir, repeat, "ccfd")
-        if st is None:
-            t0 = time.time()
-            log("CCFD")
-            out = syn.run_ccfd(jax.random.fold_in(key, 3), results,
-                               labels, ds=ds)
-            st = {"score": out["score"], "elapsed": time.time() - t0}
-            _save(outdir, repeat, "ccfd", st)
-        scores["ccfd"] = st["score"]
-        timings["ccfd"] = st["elapsed"]
-
+        try:
+            st = _load(outdir, repeat, "ccfd")
+            if st is None:
+                t0 = time.time()
+                log("CCFD")
+                out = syn.run_ccfd(jax.random.fold_in(key, 3), results,
+                                   labels, ds=ds)
+                st = {"score": out["score"], "elapsed": time.time() - t0}
+                _save(outdir, repeat, "ccfd", st)
+            scores["ccfd"] = st["score"]
+            timings["ccfd"] = st["elapsed"]
+        except Exception as e:  # noqa: BLE001 — stage isolation
+            log(f"ccfd FAILED: {e!r}")
+            timings["ccfd_error"] = repr(e)
     # ---- PPK grid + AIC/BIC (exprmt1_demo.m:180-258) ----
     if "ppk" in methods:
-        st = _load(outdir, repeat, "ppk")
-        if st is None:
-            t0 = time.time()
-            log("PPK grid")
-            out = syn.run_ppk_grid(jax.random.fold_in(key, 4), banks, ds,
-                                   labels, k_grid=k_grid)
-            st = {"aic_score": out["aic_score"],
-                  "bic_score": out["bic_score"], "ll": out["ll"],
-                  "elapsed": time.time() - t0}
-            _save(outdir, repeat, "ppk", st)
-        scores["ppk_aic"] = st["aic_score"]
-        scores["ppk_bic"] = st["bic_score"]
-        timings["ppk"] = st["elapsed"]
-
+        try:
+            st = _load(outdir, repeat, "ppk")
+            if st is None:
+                t0 = time.time()
+                log("PPK grid")
+                out = syn.run_ppk_grid(jax.random.fold_in(key, 4), banks, ds,
+                                       labels, k_grid=k_grid)
+                st = {"aic_score": out["aic_score"],
+                      "bic_score": out["bic_score"], "ll": out["ll"],
+                      "elapsed": time.time() - t0}
+                _save(outdir, repeat, "ppk", st)
+            scores["ppk_aic"] = st["aic_score"]
+            scores["ppk_bic"] = st["bic_score"]
+            timings["ppk"] = st["elapsed"]
+        except Exception as e:  # noqa: BLE001 — stage isolation
+            log(f"ppk FAILED: {e!r}")
+            timings["ppk_error"] = repr(e)
     return {"scores": scores, "timings": timings}
 
 

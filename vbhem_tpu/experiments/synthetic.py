@@ -93,10 +93,19 @@ class RecoveryScore(NamedTuple):
 def run_vbhem(key, results, labels, k_grid=range(1, 7), s_grid=range(1, 6),
               config: Optional[VBHEMConfig] = None):
     """VBHEM over the (K,S) grid + recovery scoring
-    (`exprmt1_demo.m:64-108` + `evaluate_vbhem_jounarl.m:86-118`)."""
+    (`exprmt1_demo.m:64-108` + `evaluate_vbhem_jounarl.m:86-118`).
+
+    Uses the single-program padded sweep (`vbhem.cluster_batched`, one
+    compile for the whole grid) when hyp learning is off and a single
+    initmode is set; falls back to the per-cell path otherwise."""
     config = config or default_vbhem_config()
     base = vbhem.h3m_from_results(results, use_post=config.use_post)
-    res, info = vbhem.cluster(key, base, list(k_grid), list(s_grid), config)
+    if not config.learn_hyps and config.initmode not in ("auto",):
+        res, info = vbhem.cluster_batched(key, base, list(k_grid),
+                                          list(s_grid), config)
+    else:
+        res, info = vbhem.cluster(key, base, list(k_grid), list(s_grid),
+                                  config)
     res = vbhem.remove_empty_clusters(res)
     lab = np.asarray(res.label)
     ri, _, _, _ = rand_index(lab, labels)
