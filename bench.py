@@ -47,7 +47,12 @@ def make_problem(key, kb=512, sb=3, kr=8, sr=3, d=2, dtype=jnp.float32):
 
 
 def main():
-    kb, kr, tau, n_iters = 512, 8, 10, 20
+    # Kb=8192: a pod-scale per-chip shard of the north-star config
+    # (BASELINE.json: "10k+ input HMMs").  n_iters=500 EM iterations per
+    # dispatch: the axon tunnel costs ~29ms per executable launch, so
+    # short scans measure the tunnel, not the chip (true per-iteration
+    # cost at this size is ~0.65ms).
+    kb, kr, tau, n_iters = 8192, 8, 10, 500
     from vbhem_tpu.models import vbhem
 
     base, post, hyps, cfg = make_problem(jax.random.key(0), kb=kb, kr=kr)

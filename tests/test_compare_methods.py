@@ -120,3 +120,96 @@ def test_vhem_split_mode(bank):
     ri, _, _, _ = rand_index(np.asarray(res.label), labels)
     assert ri == pytest.approx(1.0), np.asarray(res.label)
     assert res.h3m.hmm.prior.shape == (2, 2)
+
+
+# ---------------------------------------------------------------------------
+# degenerate repair (hem_fix_degenerate_component.m / hem_fix_degenerate_hmm.m)
+# ---------------------------------------------------------------------------
+
+def test_fix_degenerate_components_identity_when_healthy(bank):
+    hmms, _ = bank
+    base = vbhem.h3m_from_hmms(hmms)
+    h3m = vhem.init_baseem(jax.random.key(5), base, 3, 2, HEMConfig())
+    fixed = vhem.fix_degenerate_components(h3m, jax.random.key(6))
+    np.testing.assert_allclose(np.asarray(fixed.omega),
+                               np.asarray(h3m.omega), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fixed.hmm.mean),
+                                  np.asarray(h3m.hmm.mean))
+    np.testing.assert_array_equal(np.asarray(fixed.hmm.trans),
+                                  np.asarray(h3m.hmm.trans))
+
+
+def test_fix_degenerate_components_splits_heaviest(bank):
+    hmms, _ = bank
+    base = vbhem.h3m_from_hmms(hmms)
+    h3m = vhem.init_baseem(jax.random.key(5), base, 3, 2, HEMConfig())
+    omega = np.array([0.0, 0.7, 0.3])
+    h3m = h3m._replace(omega=jnp.asarray(omega, h3m.omega.dtype))
+    fixed = vhem.fix_degenerate_components(h3m, jax.random.key(6))
+    w = np.asarray(fixed.omega)
+    assert np.all(w > 0) and w.sum() == pytest.approx(1.0)
+    assert w[0] == pytest.approx(0.35) and w[1] == pytest.approx(0.35)
+    # degenerate cluster copies the donor's emissions
+    np.testing.assert_array_equal(np.asarray(fixed.hmm.mean[0]),
+                                  np.asarray(h3m.hmm.mean[1]))
+    # rows of the fresh A are stochastic
+    np.testing.assert_allclose(np.asarray(fixed.hmm.trans[0]).sum(-1),
+                               1.0, rtol=1e-5)
+
+
+def test_fix_degenerate_states_splits_heaviest(bank):
+    hmms, _ = bank
+    base = vbhem.h3m_from_hmms(hmms)
+    h3m = vhem.init_baseem(jax.random.key(7), base, 2, 3, HEMConfig())
+    counts = jnp.asarray([[5.0, 0.0, 1.0], [2.0, 3.0, 4.0]])
+    fixed = vhem.fix_degenerate_states(h3m, counts, jax.random.key(8))
+    prior = np.asarray(fixed.hmm.prior)
+    trans = np.asarray(fixed.hmm.trans)
+    np.testing.assert_allclose(prior.sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(trans.sum(-1), 1.0, rtol=1e-5)
+    # cluster 0, state 1 was repaired from donor state 0
+    assert prior[0, 1] > 0
+    np.testing.assert_allclose(np.asarray(fixed.hmm.mean[0, 1]),
+                               np.asarray(h3m.hmm.mean[0, 0]), rtol=0.02)
+    np.testing.assert_array_equal(np.asarray(fixed.hmm.cov[0, 1]),
+                                  np.asarray(h3m.hmm.cov[0, 0]))
+    # healthy cluster 1 untouched
+    np.testing.assert_array_equal(np.asarray(fixed.hmm.mean[1]),
+                                  np.asarray(h3m.hmm.mean[1]))
+
+
+def test_vhem_em_recovers_from_collapsed_init(bank):
+    """An init with one cluster far from all data collapses its omega;
+    the degenerate repair must keep the model finite and all clusters
+    populated (the role of hem_fix_degenerate_component in the EM)."""
+    hmms, _ = bank
+    base = vbhem.h3m_from_hmms(hmms)
+    cfg = HEMConfig(trials=1, nv=100, tau=10, max_iter=30)
+    init = vhem.init_baseem(jax.random.key(9), base, 3, 2, cfg)
+    far_mean = init.hmm.mean.at[0].set(1e4)
+    init = init._replace(hmm=init.hmm._replace(mean=far_mean))
+    st = vhem.vhem_em(base, init, cfg, key=jax.random.key(10))
+    assert np.isfinite(float(st.ll))
+    assert np.all(np.asarray(st.h3m.omega) > 0)
+    np.testing.assert_allclose(
+        np.asarray(st.h3m.hmm.trans).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_init_highp_and_trick(bank):
+    hmms, _ = bank
+    base = vbhem.h3m_from_hmms(hmms)
+    # skew the base weights so 'highp' has a defined order
+    omega = np.linspace(1, 2, base.num_hmms)
+    base = base._replace(omega=jnp.asarray(omega / omega.sum(),
+                                           base.omega.dtype))
+    cfg = HEMConfig()
+    h_hp = vhem.init_highp(jax.random.key(0), base, 3, 2, cfg)
+    np.testing.assert_allclose(np.asarray(h_hp.omega), 1 / 3, rtol=1e-6)
+    # centers = the 3 heaviest base HMMs (last three of the linspace)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(h_hp.hmm.mean), axis=0),
+        np.sort(np.asarray(base.hmm.mean[-3:]), axis=0))
+    h_tr = vhem.init_trick(jax.random.key(0), base, 3, 2, cfg)
+    assert np.asarray(h_tr.omega).sum() == pytest.approx(1.0)
+    np.testing.assert_array_equal(np.asarray(h_tr.hmm.mean),
+                                  np.asarray(base.hmm.mean)[[0, 4, 8]])

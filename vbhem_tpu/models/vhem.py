@@ -11,10 +11,15 @@ Parity map:
   * `hem_mstep_component.m` -> :func:`m_step` (weighted ML updates)
   * `initialize_hem_h3m_c.m` ('baseem'/'base') -> initializers
 
-Degenerate handling: the reference splits the heaviest component/state
-when one collapses (`hem_fix_degenerate_*.m`); here collapse is
-prevented with the same `reg_cov` covariance ridge plus mass floors,
-and empty clusters are reported via omega for post-hoc handling.
+Degenerate handling (`hem_h3m_c_step.m:461-493`): after each M-step,
+zero-mass clusters are replaced by a perturbed copy of the heaviest
+cluster with its weight split (`hem_fix_degenerate_component.m`), and
+zero-count states within a cluster by a perturbed copy of that
+cluster's heaviest state (`hem_fix_degenerate_hmm.m`); see
+:func:`fix_degenerate_components` / :func:`fix_degenerate_states`.
+The GMM-emission fix (`hem_fix_degenerate_emission.m`) never fires in
+this toolbox — emissions are single Gaussians (ncentres == 1 guard at
+`hem_h3m_c_step.m:481`).
 """
 from __future__ import annotations
 
@@ -39,6 +44,7 @@ class VHEMState(NamedTuple):
     ll_elbo: jnp.ndarray     # [Kb, Kr]
     emit_counts: jnp.ndarray  # [Kr, Sr] state virtual counts
     done: jnp.ndarray
+    key: jax.Array           # PRNG for degenerate-fix perturbations
 
 
 def _inf_norm(mode: str, nv: int, tau: int, kb: int) -> float:
@@ -111,7 +117,103 @@ def m_step(base: H3M, pair: PairStats, z: jnp.ndarray,
     return h3m, emit_counts
 
 
-def vhem_em(base: H3M, init: H3M, config: HEMConfig) -> VHEMState:
+def fix_degenerate_components(h3m: H3M, key: jax.Array) -> H3M:
+    """Replace zero-weight clusters by a perturbed copy of the heaviest
+    one with its weight split (`hem_fix_degenerate_component.m`).
+
+    The reference fixes degenerates one at a time in a Python loop; here
+    all simultaneous zeros (rare — usually one) draw from the same donor
+    and share half its weight, which is jit-compatible and identical in
+    the single-degenerate case.  Like the reference, the copied cluster
+    gets the donor's emissions, a noised copy of the donor's prior, and
+    a fresh random transition matrix preserving the donor's zero
+    pattern."""
+    omega = h3m.omega
+    kr, sr = h3m.hmm.prior.shape
+    dtype = omega.dtype
+    deg = omega <= 0.0
+    n_deg = jnp.sum(deg)
+    any_deg = n_deg > 0
+    donor = jnp.argmax(omega)
+    is_donor = jnp.arange(kr) == donor
+
+    w_max = omega[donor]
+    omega_new = jnp.where(deg, 0.5 * w_max / jnp.maximum(n_deg, 1), omega)
+    omega_new = jnp.where(any_deg & is_donor, 0.5 * w_max, omega_new)
+    omega_new = omega_new / jnp.sum(omega_new)
+
+    k1, k2 = jax.random.split(key)
+    # prior: donor prior + (.1/Sr) * U[0,1), renormalized
+    prior_d = h3m.hmm.prior[donor]
+    prior_fix = prior_d[None] + (0.1 / sr) * jax.random.uniform(
+        k1, (kr, sr), dtype)
+    prior_fix = prior_fix / jnp.sum(prior_fix, -1, keepdims=True)
+    prior_new = jnp.where(deg[:, None], prior_fix, h3m.hmm.prior)
+    # A: fresh (.1/Sr)*rand with the donor's zeros kept, renormalized
+    trans_d = h3m.hmm.trans[donor]
+    a_fix = (0.1 / sr) * jax.random.uniform(k2, (kr, sr, sr), dtype)
+    a_fix = jnp.where(trans_d[None] == 0, 0.0, a_fix)
+    a_fix = a_fix / jnp.maximum(jnp.sum(a_fix, -1, keepdims=True), 1e-300)
+    trans_new = jnp.where(deg[:, None, None], a_fix, h3m.hmm.trans)
+
+    mean_new = jnp.where(deg[:, None, None], h3m.hmm.mean[donor][None],
+                         h3m.hmm.mean)
+    cov_new = jnp.where(deg[:, None, None, None], h3m.hmm.cov[donor][None],
+                        h3m.hmm.cov)
+    return h3m._replace(omega=omega_new,
+                        hmm=HMM(prior=prior_new, trans=trans_new,
+                                mean=mean_new, cov=cov_new))
+
+
+def fix_degenerate_states(h3m: H3M, emit_counts: jnp.ndarray,
+                          key: jax.Array) -> H3M:
+    """Replace zero-count states of each cluster by a split of that
+    cluster's heaviest state (`hem_fix_degenerate_hmm.m`): prior mass
+    halved between donor and copy, donor's outgoing row copied, incoming
+    column split, emission mean perturbed by 1% multiplicative noise."""
+    kr, sr = h3m.hmm.prior.shape
+    dtype = h3m.hmm.prior.dtype
+    deg = emit_counts <= 0.0                                  # [Kr, Sr]
+    n_deg = jnp.sum(deg, axis=-1)                             # [Kr]
+    any_deg = n_deg > 0
+    donor = jnp.argmax(emit_counts, axis=-1)                  # [Kr]
+    is_donor = jnp.arange(sr)[None, :] == donor[:, None]      # [Kr, Sr]
+
+    take_donor = lambda a: jnp.take_along_axis(
+        a, donor.reshape((kr,) + (1,) * (a.ndim - 1)), axis=1)
+
+    p_max = take_donor(h3m.hmm.prior)                         # [Kr, 1]
+    prior_new = jnp.where(deg, 0.5 * p_max / jnp.maximum(n_deg, 1)[:, None],
+                          h3m.hmm.prior)
+    prior_new = jnp.where(any_deg[:, None] & is_donor, 0.5 * p_max,
+                          prior_new)
+    prior_new = prior_new / jnp.maximum(
+        jnp.sum(prior_new, -1, keepdims=True), 1e-300)
+
+    # rows: degenerate state gets the donor's outgoing row
+    row_d = take_donor(h3m.hmm.trans)                         # [Kr, 1, Sr]
+    trans_new = jnp.where(deg[:, :, None], row_d, h3m.hmm.trans)
+    # columns: incoming donor mass split between donor and degenerates
+    col_d = jnp.take_along_axis(trans_new, donor[:, None, None],
+                                axis=2)                       # [Kr, Sr, 1]
+    share = 0.5 * col_d / jnp.maximum(n_deg, 1)[:, None, None]
+    trans_new = jnp.where(deg[:, None, :], share, trans_new)
+    trans_new = jnp.where((any_deg[:, None] & is_donor)[:, None, :],
+                          0.5 * col_d, trans_new)
+    trans_new = trans_new / jnp.maximum(
+        jnp.sum(trans_new, -1, keepdims=True), 1e-300)
+
+    mean_d = take_donor(h3m.hmm.mean)                         # [Kr, 1, D]
+    noise = 1.0 + 0.01 * jax.random.uniform(key, h3m.hmm.mean.shape, dtype)
+    mean_new = jnp.where(deg[:, :, None], mean_d * noise, h3m.hmm.mean)
+    cov_d = take_donor(h3m.hmm.cov)                           # [Kr, 1, D, D]
+    cov_new = jnp.where(deg[:, :, None, None], cov_d, h3m.hmm.cov)
+    return h3m._replace(hmm=HMM(prior=prior_new, trans=trans_new,
+                                mean=mean_new, cov=cov_new))
+
+
+def vhem_em(base: H3M, init: H3M, config: HEMConfig,
+            key: Optional[jax.Array] = None) -> VHEMState:
     """The VHEM EM loop (`hem_h3m_c_step.m:179-505`)."""
     dtype = base.hmm.mean.dtype
     kb = base.num_hmms
@@ -139,17 +241,22 @@ def vhem_em(base: H3M, init: H3M, config: HEMConfig) -> VHEMState:
         converged = jnp.logical_and(st.it > 0, change < config.min_diff)
         done = converged | unstable | (st.it + 1 >= config.max_iter)
         new_h3m, emit_counts = m_step(base, pair, z, config)
+        # degenerate repair (hem_h3m_c_step.m:461-478)
+        k_c, k_s = jax.random.split(jax.random.fold_in(st.key, st.it))
+        new_h3m = fix_degenerate_components(new_h3m, k_c)
+        new_h3m = fix_degenerate_states(new_h3m, emit_counts, k_s)
         new_h3m = jax.tree.map(
             lambda new, old: jnp.where(unstable, old, new), new_h3m, st.h3m)
         return VHEMState(h3m=new_h3m, ll=ll, last_ll=st.ll, it=st.it + 1,
                          z=z, ll_elbo=pair.ll_elbo,
-                         emit_counts=emit_counts, done=done)
+                         emit_counts=emit_counts, done=done, key=st.key)
 
     st0 = VHEMState(h3m=init, ll=big_neg, last_ll=big_neg,
                     it=jnp.asarray(0), z=jnp.zeros((kb, kr), dtype),
                     ll_elbo=jnp.zeros((kb, kr), dtype),
                     emit_counts=jnp.zeros((kr, sr), dtype),
-                    done=jnp.asarray(False))
+                    done=jnp.asarray(False),
+                    key=key if key is not None else jax.random.key(0))
     return jax.lax.while_loop(lambda st: ~st.done, body, st0)
 
 
@@ -228,8 +335,46 @@ def init_gmmNew(key: jax.Array, base: H3M, kr: int, sr: int,
                state_mask=jnp.ones((kr, sr), bool))
 
 
+def _init_from_indices(base: H3M, idx: jnp.ndarray, sr: int,
+                       omega: jnp.ndarray) -> H3M:
+    take = lambda a: a[idx][:, :sr]
+    prior = take(base.hmm.prior)
+    prior = prior / jnp.maximum(jnp.sum(prior, -1, keepdims=True), 1e-12)
+    trans = base.hmm.trans[idx][:, :sr, :sr]
+    trans = trans / jnp.maximum(jnp.sum(trans, -1, keepdims=True), 1e-12)
+    kr = int(idx.shape[0])
+    return H3M(omega=omega,
+               hmm=HMM(prior=prior, trans=trans,
+                       mean=take(base.hmm.mean),
+                       cov=base.hmm.cov[idx][:, :sr]),
+               state_mask=jnp.ones((kr, sr), bool))
+
+
+def init_highp(key: jax.Array, base: H3M, kr: int, sr: int,
+               config: HEMConfig) -> H3M:
+    """'highp': the Kr highest-weight base HMMs as centers, uniform
+    omega (`initialize_hem_h3m_c.m:259-269`)."""
+    del key
+    dtype = base.hmm.mean.dtype
+    idx = jnp.argsort(-base.omega)[:kr]
+    return _init_from_indices(base, idx, sr,
+                              jnp.full((kr,), 1.0 / kr, dtype))
+
+
+def init_trick(key: jax.Array, base: H3M, kr: int, sr: int,
+               config: HEMConfig) -> H3M:
+    """'trick': evenly-spaced base HMMs as centers, random omega
+    (`initialize_hem_h3m_c.m:247-257`)."""
+    dtype = base.hmm.mean.dtype
+    kb = base.num_hmms
+    idx = jnp.arange(kr) * max(kb // kr, 1)
+    omega = jax.random.uniform(key, (kr,), dtype)
+    return _init_from_indices(base, idx, sr, omega / jnp.sum(omega))
+
+
 _INITIALIZERS = {"baseem": init_baseem, "base": init_base_subset,
-                 "gmmNew": init_gmmNew}
+                 "gmmNew": init_gmmNew, "highp": init_highp,
+                 "trick": init_trick}
 
 
 class VHEMResult(NamedTuple):
@@ -265,8 +410,9 @@ def fit_single_ks(key: jax.Array, base: H3M, kr: int, sr: int,
     init_fn = _INITIALIZERS[mode]
 
     def one_trial(trial_key):
-        return vhem_em(base, init_fn(trial_key, base, kr, sr, config),
-                       config)
+        k_init, k_fix = jax.random.split(trial_key)
+        return vhem_em(base, init_fn(k_init, base, kr, sr, config),
+                       config, key=k_fix)
 
     keys = jax.random.split(key, config.trials)
     return jax.vmap(one_trial)(keys)
