@@ -23,3 +23,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules: accumulated
+    XLA:CPU JIT state across the whole suite in one process ends in a
+    segfault (see pytest.ini); clearing per module bounds the growth."""
+    yield
+    jax.clear_caches()

@@ -45,7 +45,8 @@ def main():
         n_per_cluster=args.subjects, n_seqs=args.seqs, t=args.t,
         k_grid=range(1, args.kmax + 1), s_grid=range(1, args.smax + 1),
         vbhem_config=synthetic.default_vbhem_config(trials=args.trials),
-        hem_config=HEMConfig(trials=args.trials, nv=100, tau=10),
+        # exprmt1_demo.m:115-118: hemopt.tau = T, Nv = 100, initmode auto
+        hem_config=HEMConfig(trials=args.trials, nv=100, tau=args.t),
         methods=tuple(args.methods.split(",")))
     print(json.dumps(summary, indent=2))
 

@@ -213,3 +213,22 @@ def test_init_highp_and_trick(bank):
     assert np.asarray(h_tr.omega).sum() == pytest.approx(1.0)
     np.testing.assert_array_equal(np.asarray(h_tr.hmm.mean),
                                   np.asarray(base.hmm.mean)[[0, 4, 8]])
+
+
+def test_vhem_gmmNew2_and_auto(bank):
+    """'gmmNew2' produces a valid init and 'auto' (try baseem/gmmNew/
+    gmmNew2, keep best LL; vhem_cluster.m:210-233) still recovers the
+    clusters."""
+    hmms, labels = bank
+    base = vbhem.h3m_from_hmms(hmms)
+    cfg = HEMConfig(trials=4, nv=100, tau=10)
+    init = vhem.init_gmmNew2(jax.random.key(2), base, 2, 2, cfg)
+    assert np.asarray(init.omega).sum() == pytest.approx(1.0)
+    np.testing.assert_allclose(np.asarray(init.hmm.trans).sum(-1), 1.0,
+                               rtol=1e-6)
+    # the 2*2=4 reduced Gaussians are distinct blocks (not broadcast)
+    means = np.asarray(init.hmm.mean).reshape(-1, 2)
+    assert len(np.unique(means.round(6), axis=0)) > 1
+    res = vhem.cluster(jax.random.key(0), base, 2, 2, cfg, initmode="auto")
+    ri, _, _, _ = rand_index(np.asarray(res.label), labels)
+    assert ri == pytest.approx(1.0), np.asarray(res.label)

@@ -335,6 +335,33 @@ def init_gmmNew(key: jax.Array, base: H3M, kr: int, sr: int,
                state_mask=jnp.ones((kr, sr), bool))
 
 
+def init_gmmNew2(key: jax.Array, base: H3M, kr: int, sr: int,
+                 config: HEMConfig) -> H3M:
+    """'gmmNew2': reduce the pooled base Gaussians to Kr*Sr components
+    and give each cluster its own random block of Sr
+    (`initialize_hem_h3m_c.m:276-494`, tmpK = Sr*Kr branch)."""
+    from ..ops.gmm import mix_hier_em
+    dtype = base.hmm.mean.dtype
+    kb, sb_max = base.state_mask.shape
+    d = base.hmm.mean.shape[-1]
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    red, _ = mix_hier_em(k1, base.hmm.mean.reshape(kb * sb_max, d),
+                         base.hmm.cov.reshape(kb * sb_max, d, d),
+                         base.state_mask.reshape(-1).astype(dtype), kr * sr,
+                         nv=config.nv)
+    use = jax.random.permutation(k2, kr * sr).reshape(kr, sr)
+    prior = jax.random.uniform(k3, (kr, sr), dtype)
+    prior = prior / jnp.sum(prior, -1, keepdims=True)
+    trans = jax.random.uniform(k4, (kr, sr, sr), dtype)
+    trans = trans / jnp.sum(trans, -1, keepdims=True)
+    omega = jax.random.uniform(k5, (kr,), dtype) + 0.1
+    omega = omega / jnp.sum(omega)
+    return H3M(omega=omega,
+               hmm=HMM(prior=prior, trans=trans,
+                       mean=red.mean[use], cov=red.cov[use]),
+               state_mask=jnp.ones((kr, sr), bool))
+
+
 def _init_from_indices(base: H3M, idx: jnp.ndarray, sr: int,
                        omega: jnp.ndarray) -> H3M:
     take = lambda a: a[idx][:, :sr]
@@ -373,8 +400,11 @@ def init_trick(key: jax.Array, base: H3M, kr: int, sr: int,
 
 
 _INITIALIZERS = {"baseem": init_baseem, "base": init_base_subset,
-                 "gmmNew": init_gmmNew, "highp": init_highp,
-                 "trick": init_trick}
+                 "gmmNew": init_gmmNew, "gmmNew2": init_gmmNew2,
+                 "highp": init_highp, "trick": init_trick}
+
+# 'auto' tries these and keeps the best solution (`vhem_cluster.m:210-233`)
+_AUTO_MODES = ("baseem", "gmmNew", "gmmNew2")
 
 
 class VHEMResult(NamedTuple):
@@ -430,21 +460,37 @@ def cluster(key: jax.Array, base: H3M, kr: int, sr: int,
     shortcut when Kr == Kb is NOT applied here (the reference returns
     the inputs unchanged in that case, `hem_h3m_c.m:19-25`).
 
-    NaN-retry ladder (`hem_h3m_c.m:304-320`): if every restart is
-    unstable (ll = -inf), redo with fresh keys up to 5 times, then
-    switch the initializer to 'gmmNew' for up to 5 more; a model that
-    still failed is returned with ``given_up`` semantics (ll = -inf)."""
+    'auto' initmode tries {baseem, gmmNew, gmmNew2} and keeps the best
+    solution by LL (`vhem_cluster.m:210-233`).
+
+    NaN-retry ladder (`hem_h3m_c.m:304-320`): if every restart of a
+    mode is unstable (ll = -inf), redo with fresh keys up to 5 times,
+    then switch the initializer to 'gmmNew' for up to 5 more; a model
+    that still failed is returned with ``given_up`` semantics
+    (ll = -inf)."""
     import numpy as np
     mode = initmode or config.initmode
-    st = select_best_trial(fit_single_ks(key, base, kr, sr, config, mode))
-    redo = 0
-    while not np.isfinite(float(st.ll)) and redo < 10:
-        redo += 1
-        use_mode = mode if redo <= 5 else "gmmNew"
-        st = select_best_trial(fit_single_ks(
-            jax.random.fold_in(key, 1000 + redo), base, kr, sr, config,
-            use_mode))
-    return finalize(st)
+    modes = _AUTO_MODES if mode == "auto" else (mode,)
+
+    def one_mode(mode, mode_key):
+        st = select_best_trial(
+            fit_single_ks(mode_key, base, kr, sr, config, mode))
+        redo = 0
+        while not np.isfinite(float(st.ll)) and redo < 10:
+            redo += 1
+            use_mode = mode if redo <= 5 else "gmmNew"
+            st = select_best_trial(fit_single_ks(
+                jax.random.fold_in(mode_key, 1000 + redo), base, kr, sr,
+                config, use_mode))
+        return st
+
+    best = None
+    for mi, m in enumerate(modes):
+        st = one_mode(m, jax.random.fold_in(key, mi) if len(modes) > 1
+                      else key)
+        if best is None or float(st.ll) > float(best.ll):
+            best = st
+    return finalize(best)
 
 
 # ---------------------------------------------------------------------------
