@@ -13,6 +13,20 @@ import os
 # racing on it can corrupt entries, so disable it under tests.
 os.environ.setdefault("VBHEM_TPU_NO_COMPILE_CACHE", "1")
 
+# XLA:CPU's parallel codegen creates thousands of small JIT code
+# mappings per compiled module; a compile-heavy session exhausts the
+# default vm.max_map_count=65530, LLVM reports "Cannot allocate memory"
+# and the process segfaults (observed at ~59k maps).  Raise the limit
+# when we can (root); xdist file sharding (pytest.ini) bounds per-process
+# growth regardless.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 1048576:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write("1048576")
+except OSError:
+    pass
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

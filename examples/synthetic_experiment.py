@@ -14,6 +14,23 @@ import json
 import os
 import sys
 
+
+def _raise_map_count():
+    """XLA:CPU parallel codegen mmaps thousands of small JIT code
+    sections per big module; the kernel default vm.max_map_count=65530
+    is exhausted by this compile-heavy pipeline (LLVM 'Cannot allocate
+    memory' then segfault, observed at ~59k maps).  Raise it if we can."""
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            if int(f.read()) < 1048576:
+                with open("/proc/sys/vm/max_map_count", "w") as g:
+                    g.write("1048576")
+    except OSError:
+        pass
+
+
+_raise_map_count()
+
 import jax
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
