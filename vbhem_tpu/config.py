@@ -99,6 +99,10 @@ class VBHEMConfig:
     learn_hyps: bool = True
     learn_hyps_keys: Tuple[str, ...] = (
         "alpha0", "eta0", "epsilon0", "v0", "lambda0", "w0", "m0")
+    # unique restart solutions to hyp-optimize per cell; None = all
+    # (the reference optimizes every uniqueLL survivor,
+    # `vbhem_h3m_c.m:96-160`)
+    max_hyp_solutions: Optional[int] = None
     bounds: HypBounds = HypBounds()
     # --- posterior-expectation conversion of inputs ---
     use_post: bool = True

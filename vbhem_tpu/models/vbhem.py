@@ -782,7 +782,9 @@ def cluster(key: jax.Array, base: H3M, k, s,
                     # (`vbhem_h3m_c.m:96-160`)
                     from .. import hyp as hypmod
                     uniq = hypmod.unique_ll(np.asarray(states.ll),
-                                            config.min_diff)[:3]
+                                            config.min_diff)
+                    if config.max_hyp_solutions is not None:
+                        uniq = uniq[:config.max_hyp_solutions]
                     for idx in uniq:
                         st_i = jax.tree.map(lambda a: a[int(idx)], states)
                         _, st_opt, _ = optimize_solution_hyps(
