@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--kmax", type=int, default=6)
     ap.add_argument("--smax", type=int, default=5)
     ap.add_argument("--trials", type=int, default=50)
+    ap.add_argument("--hem-trials", type=int, default=20,
+                    help="VHEM restarts per initmode (x3 under 'auto')")
+    ap.add_argument("--repeat-ids", default=None,
+                    help="comma list of repeat indices (subset of a "
+                         "shared outdir for multi-process runs)")
     ap.add_argument("--methods", default="vbhem,vhem,ccfd,ppk")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -57,13 +62,15 @@ def main():
     from vbhem_tpu.config import HEMConfig
     from vbhem_tpu.experiments import runner, synthetic
 
+    repeat_ids = ([int(v) for v in args.repeat_ids.split(",")]
+                  if args.repeat_ids else None)
     summary = runner.run_experiment(
-        args.out, n_repeats=args.repeats,
+        args.out, n_repeats=args.repeats, repeat_ids=repeat_ids,
         n_per_cluster=args.subjects, n_seqs=args.seqs, t=args.t,
         k_grid=range(1, args.kmax + 1), s_grid=range(1, args.smax + 1),
         vbhem_config=synthetic.default_vbhem_config(trials=args.trials),
         # exprmt1_demo.m:115-118: hemopt.tau = T, Nv = 100, initmode auto
-        hem_config=HEMConfig(trials=args.trials, nv=100, tau=args.t),
+        hem_config=HEMConfig(trials=args.hem_trials, nv=100, tau=args.t),
         methods=tuple(args.methods.split(",")))
     print(json.dumps(summary, indent=2))
 

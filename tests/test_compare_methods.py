@@ -232,3 +232,36 @@ def test_vhem_gmmNew2_and_auto(bank):
     res = vhem.cluster(jax.random.key(0), base, 2, 2, cfg, initmode="auto")
     ri, _, _, _ = rand_index(np.asarray(res.label), labels)
     assert ri == pytest.approx(1.0), np.asarray(res.label)
+
+
+def test_ppk_gram_batched_matches_loop(bank):
+    """The one-dispatch padded Gram matrix must equal the host pair
+    loop, including on heterogeneous state counts (padding inertness)."""
+    hmms, _ = bank
+    # add a 3-state HMM to exercise the state padding
+    h3 = HMM(prior=jnp.asarray([0.5, 0.3, 0.2]),
+             trans=jnp.asarray([[0.6, 0.3, 0.1], [0.2, 0.6, 0.2],
+                                [0.1, 0.3, 0.6]]),
+             mean=jnp.asarray([[0.0, 0.0], [3.0, 3.0], [1.0, -2.0]]),
+             cov=jnp.broadcast_to(jnp.eye(2), (3, 2, 2)))
+    sub = list(hmms[:4]) + [h3]
+    a_loop = ppk._gram_matrix_loop(sub)
+    a_bat = ppk.gram_matrix(sub)
+    np.testing.assert_allclose(a_bat, a_loop, rtol=1e-8, atol=1e-12)
+
+
+def test_skl_batched_matches_loop(bank):
+    """The one-dispatch LLm-table SKL distance matrix must equal the
+    reference-style pair loop when each HMM carries its own data."""
+    from vbhem_tpu.containers import SeqBatch
+    from vbhem_tpu.models import hmm_tools
+    hmms, _ = bank
+    sub = list(hmms[:5])
+    data = []
+    for i, h in enumerate(sub):
+        _, x = hmm_tools.sample(jax.random.key(100 + i), h, t=30, n=8)
+        data.append(SeqBatch(x=x, lengths=jnp.full((8,), 30, jnp.int32)))
+    key = jax.random.key(7)
+    d_loop = ccfd._skl_distance_matrix_loop(key, sub, data)
+    d_bat = ccfd.skl_distance_matrix(key, sub, data)
+    np.testing.assert_allclose(d_bat, d_loop, rtol=1e-8, atol=1e-10)

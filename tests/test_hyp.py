@@ -118,3 +118,32 @@ def test_learn_with_hyps_end_to_end(setup):
     means = np.asarray(res.model.mean)
     order = np.argsort(means[:, 0])
     np.testing.assert_allclose(means[order], [[0, 0], [3, 3]], atol=0.4)
+
+
+def test_batched_lbfgs_matches_scipy_oracle(setup):
+    """The vmapped optax L-BFGS hyp path must reach the same ELBO as
+    the scipy L-BFGS-B oracle on the same solution (same init posterior,
+    same objective)."""
+    batch, cfg, hyps, st = setup
+    _, st_scipy, _ = vbhmm.optimize_solution_hyps(batch, st.post, hyps, cfg)
+    posts = jax.tree.map(lambda a: a[None], st.post)
+    hyps_b, sts = vbhmm.optimize_solution_hyps_batched(batch, posts, hyps,
+                                                       cfg)
+    ll_scipy = float(st_scipy.ll)
+    ll_batched = float(sts.ll[0])
+    # both must improve on the un-optimized solution ...
+    assert ll_batched >= float(st.ll) - 1e-9
+    # ... and agree to 0.1% relative (different line searches)
+    assert ll_batched >= ll_scipy - 1e-3 * abs(ll_scipy), \
+        (ll_batched, ll_scipy)
+
+
+def test_lbfgs_box_respects_bounds():
+    lo = jnp.asarray([-1.0, 0.5])
+    hi = jnp.asarray([2.0, 3.0])
+
+    def f(th):
+        return (th[0] + 5.0) ** 2 + (th[1] - 1.0) ** 2
+
+    th, v, it = hypmod.lbfgs_box(f, jnp.zeros(2), lo, hi, max_steps=50)
+    np.testing.assert_allclose(np.asarray(th), [-1.0, 1.0], atol=1e-6)

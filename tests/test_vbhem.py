@@ -1,6 +1,8 @@
 """VBHEM engine tests: ELBO monotonicity and ground-truth cluster
 recovery — the acceptance test of the reference's synthetic benchmark
 (`Synthetic_experiment/exprmt1_*.m`, SURVEY.md section 4.1)."""
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -234,3 +236,22 @@ def test_cluster_batched_matches_grid(base, learned_bank):
     assert info["model_best_k"] == 2 and info["model_best_s"] == 2, info
     ri = rand_index(np.asarray(res.label), labels)[0]
     assert ri == pytest.approx(1.0), np.asarray(res.label)
+
+
+def test_cluster_batched_learn_hyps(base, learned_bank):
+    """cluster_batched with learn_hyps: the grid-level vmapped L-BFGS
+    (one lane per (cell, unique solution)) must improve the selected
+    model's ELBO over the no-hyp sweep and still select (K,S)=(2,2)."""
+    cfg = VBHEMConfig(alpha0=1e6, m0=(1.5, 1.5), w0=1.0, trials=4,
+                      nv=100, tau=10, initmode="baseem",
+                      learn_hyps=False, max_iter=100)
+    res0, info0 = vbhem.cluster_batched(jax.random.key(5), base,
+                                        [1, 2, 3], [2], cfg)
+    cfg_h = dataclasses.replace(cfg, learn_hyps=True, hyp_max_steps=15,
+                                max_hyp_solutions=2)
+    res1, info1 = vbhem.cluster_batched(jax.random.key(5), base,
+                                        [1, 2, 3], [2], cfg_h)
+    assert info1["model_best_k"] == 2 and info1["model_best_s"] == 2
+    # hyp optimization can only improve the per-cell best ELBO
+    assert float(res1.ll) >= float(res0.ll) - 1e-9, (float(res1.ll),
+                                                     float(res0.ll))

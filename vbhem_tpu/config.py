@@ -57,6 +57,12 @@ class VBConfig:
     # --- hyp learning ---
     learn_hyps: bool = False
     learn_hyps_keys: Tuple[str, ...] = ("alpha0", "epsilon0", "v0", "beta0", "w0", "mu0")
+    # unique restart solutions to hyp-optimize; None = all uniqueLL
+    # survivors (the reference optimizes every one, `vbhmm_learn.m:498`)
+    max_hyp_solutions: Optional[int] = None
+    # L-BFGS iterations for the batched hyp optimizer (the reference's
+    # minimize_new runs p.length=100 line searches, `vbhmm_em_hyp.m:73`)
+    hyp_max_steps: int = 50
     bounds: HypBounds = HypBounds()
     # --- misc ---
     verbose: int = 1
@@ -103,6 +109,9 @@ class VBHEMConfig:
     # (the reference optimizes every uniqueLL survivor,
     # `vbhem_h3m_c.m:96-160`)
     max_hyp_solutions: Optional[int] = None
+    # L-BFGS iterations for the batched hyp optimizer
+    # (`vbhem_h3m_c_hyp.m:38` runs p.length=100 line searches)
+    hyp_max_steps: int = 50
     bounds: HypBounds = HypBounds()
     # --- posterior-expectation conversion of inputs ---
     use_post: bool = True

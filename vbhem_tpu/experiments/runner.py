@@ -202,11 +202,17 @@ def aggregate(per_repeat: List[Dict]) -> Dict:
     return summary
 
 
-def run_experiment(outdir: str, n_repeats: int = 10, **kwargs) -> Dict:
-    """All repeats + aggregation; resumable via the per-stage pickles."""
+def run_experiment(outdir: str, n_repeats: int = 10,
+                   repeat_ids: Optional[List[int]] = None, **kwargs) -> Dict:
+    """All repeats + aggregation; resumable via the per-stage pickles.
+    ``repeat_ids`` restricts to a subset (so several processes can split
+    the repeats over one shared ``outdir``; a final full-range rerun
+    aggregates everything from the checkpoints)."""
     os.makedirs(outdir, exist_ok=True)
+    ids = list(repeat_ids) if repeat_ids is not None else list(
+        range(n_repeats))
     per_repeat = []
-    for r in range(n_repeats):
+    for r in ids:
         per_repeat.append(run_repeat(r, outdir, **kwargs))
     summary = aggregate(per_repeat)
     with open(os.path.join(outdir, "summary.json"), "w") as f:

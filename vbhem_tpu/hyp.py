@@ -165,6 +165,136 @@ def optimize_hyps(objective_and_grad, hyps0, specs,
                       "converged": bool(res.success), "message": str(res.message)}
 
 
+def bound_vectors(specs) -> Tuple[np.ndarray, np.ndarray]:
+    """Box bounds in transform space as (lo, hi) vectors (identity-
+    transformed hyps get +-inf)."""
+    los, his = [], []
+    for s in specs:
+        if np.isinf(s.lo) and np.isinf(s.hi):
+            los.extend([-np.inf] * s.size)
+            his.extend([np.inf] * s.size)
+        else:
+            lo = float(s.transform(jnp.asarray(s.lo)))
+            hi = float(s.transform(jnp.asarray(s.hi)))
+            los.extend([lo] * s.size)
+            his.extend([hi] * s.size)
+    return np.asarray(los), np.asarray(his)
+
+
+def lbfgs_box(fun, theta0: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+              max_steps: int = 50, gtol: float = 1e-8,
+              ftol: float = 1e-12):
+    """Box-constrained L-BFGS as one pure-JAX program (vmappable).
+
+    This is the TPU-native counterpart of the reference's
+    `minimize_new.m` + clip mechanism — a PROJECTED L-BFGS: the iterate
+    is projected into the box after every update (so it is always
+    feasible, like `vbhmm_clip_hyps.m` re-clipping each evaluation),
+    line-search probes outside the box are evaluated at their projection
+    (clip inside the objective), and gradient components pushing against
+    an active bound are zeroed exactly like `vbhmm_em_lb.m:330-343`
+    zeroes clipped gradients.  Non-finite objective values map to a
+    large constant so the backtracking line search rejects those steps
+    (the reference maps unstable EM runs to L = -inf and backs off).
+
+    Returns (theta_opt clipped into the box, final value, iterations).
+    """
+    import optax
+    import optax.tree_utils as otu
+
+    dtype = theta0.dtype
+    big = jnp.asarray(1e30, dtype)
+    theta0 = jnp.clip(theta0, lo, hi)
+
+    def safe_fun(theta):
+        v = fun(jnp.clip(theta, lo, hi))
+        return jnp.where(jnp.isfinite(v), v, big)
+
+    opt = optax.lbfgs(
+        linesearch=optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=20, store_grad=True))
+    vag = optax.value_and_grad_from_state(safe_fun)
+
+    def step(carry):
+        theta, state, _ = carry
+        v, g = vag(theta, state=state)
+        ok = jnp.isfinite(v) & jnp.all(jnp.isfinite(g))
+        v = jnp.where(ok, v, big)
+        g = jnp.where(ok, g, jnp.zeros_like(g))
+        # projected gradient: a component at an active bound that pushes
+        # outward contributes nothing (minimizing, so descent moves along
+        # -g: at lo, g>0 pushes below lo; at hi, g<0 pushes above hi)
+        outward = ((theta <= lo) & (g > 0)) | ((theta >= hi) & (g < 0))
+        g = jnp.where(outward, jnp.zeros_like(g), g)
+        updates, state = opt.update(g, state, theta, value=v, grad=g,
+                                    value_fn=safe_fun)
+        theta_new = optax.apply_updates(theta, updates)
+        theta_new = jnp.where(jnp.all(jnp.isfinite(theta_new)),
+                              theta_new, theta)
+        # keep the iterate feasible: at the bound (where clip still
+        # passes half the gradient through) rather than outside it
+        # (where the clip gradient is identically zero and the
+        # coordinate could never re-enter the box)
+        theta_new = jnp.clip(theta_new, lo, hi)
+        return theta_new, state, v
+
+    def cont(carry):
+        _, state, prev_v = carry
+        it = otu.tree_get(state, "count")
+        g = otu.tree_get(state, "grad")
+        v = otu.tree_get(state, "value")
+        small_grad = otu.tree_norm(g) < gtol
+        small_step = jnp.abs(v - prev_v) <= ftol * jnp.maximum(
+            jnp.abs(v), 1.0)
+        return (it == 0) | ((it < max_steps) & ~small_grad & ~small_step)
+
+    state0 = opt.init(theta0)
+    theta, state, _ = jax.lax.while_loop(
+        cont, step, (theta0, state0, jnp.asarray(jnp.inf, dtype)))
+    v_final = otu.tree_get(state, "value")
+    it = otu.tree_get(state, "count")
+    return jnp.clip(theta, lo, hi), v_final, it
+
+
+def optimize_hyps_batched(neg_elbo_fn, hyps0, specs, batched_args,
+                          max_steps: int = 50):
+    """Vmapped empirical-Bayes hyp optimization: one L-BFGS per lane,
+    ALL lanes in one compiled program — the TPU-native form of the
+    reference's parfor over unique restart solutions
+    (`vbhem_h3m_c.m:96-160`, `vbhmm_learn.m:498-552`).
+
+    ``neg_elbo_fn(hyps, *lane_args) -> scalar`` (already clipped hyps).
+    ``batched_args`` is a tuple of pytrees sharing a leading lane axis.
+    Returns (hyps pytree with leading lane axis, final values, iters).
+    """
+    theta0 = jnp.asarray(pack(hyps0, specs))
+    lo_np, hi_np = bound_vectors(specs)
+    lo = jnp.asarray(lo_np, theta0.dtype)
+    hi = jnp.asarray(hi_np, theta0.dtype)
+
+    def one(*args):
+        def f(theta):
+            hyps = unpack(theta, hyps0, specs)
+            return neg_elbo_fn(hyps, *args)
+        return lbfgs_box(f, theta0, lo, hi, max_steps=max_steps)
+
+    theta_b, vals, iters = jax.jit(jax.vmap(one))(*batched_args)
+    hyps_b = jax.vmap(lambda th: unpack(th, hyps0, specs))(theta_b)
+    return hyps_b, vals, iters
+
+
+def pad_lanes(idx: np.ndarray, bucket: int = 4) -> np.ndarray:
+    """Pad a lane-index vector to the next multiple of ``bucket`` by
+    repeating the first lane.  Duplicate lanes cost compute but keep the
+    batched L-BFGS program's shape static across callers, so it compiles
+    once per bucket size instead of once per unique-solution count."""
+    idx = np.asarray(idx)
+    rem = (-len(idx)) % bucket
+    if rem:
+        idx = np.concatenate([idx, np.full((rem,), idx[0], idx.dtype)])
+    return idx
+
+
 def unique_ll(lls: np.ndarray, min_diff: float = 1e-5) -> np.ndarray:
     """Indices of unique restart solutions by LL, gating which get
     expensive hyp optimization (`src/util/uniqueLL.m:41-80`): two LLs

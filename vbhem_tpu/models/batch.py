@@ -26,6 +26,114 @@ from ..containers import SeqBatch
 from . import vbhmm
 
 
+def learn_bank(key: jax.Array, batches: Sequence[SeqBatch], k: int,
+               config: VBConfig = VBConfig()):
+    """Learn one HMM per subject with the WHOLE bank batched: the
+    subject x trial restarts are one vmapped program, and (with
+    ``config.learn_hyps``) every subject's uniqueLL survivors are hyp-
+    optimized together in one vmapped L-BFGS — the TPU-native form of
+    `vbhmm_learn_batch.m:56-78` (a parfor of per-subject learns, each
+    with its own hyp optimization, `vbhmm_learn.m:498-552`).
+
+    Requires homogeneous per-subject data shapes; callers should fall
+    back to per-subject :func:`vbhmm.learn` otherwise.  Returns
+    (list of VBHMMResult, info dict).
+    """
+    from .. import hyp as hypmod
+
+    n_subj = len(batches)
+    dim = batches[0].x.shape[-1]
+    dtype = batches[0].x.dtype
+    assert len({(int(b.x.shape[0]), int(b.x.shape[1]))
+                for b in batches}) == 1, "learn_bank needs uniform shapes"
+    xs = jnp.stack([b.x for b in batches])             # [S, N, T, D]
+    lens = jnp.stack([b.lengths for b in batches])     # [S, N]
+    hyps0 = vbhmm.VBHyps.from_config(config, dim, dtype)
+    numtrials = 1 if k == 1 else config.numtrials
+
+    def fit_subject(skey, x, lengths):
+        b = SeqBatch(x=x, lengths=lengths)
+
+        def one_trial(tk):
+            post0 = vbhmm.random_init(tk, b, k, hyps0)
+            return vbhmm.vbem_em(b, post0, hyps0, max_iter=config.max_iter,
+                                 min_diff=config.min_diff)
+
+        return jax.vmap(one_trial)(jax.random.split(skey, numtrials))
+
+    skeys = jax.random.split(key, n_subj)
+    states = jax.jit(jax.vmap(fit_subject))(skeys, xs, lens)  # [S, trials]
+
+    info = {}
+    if config.learn_hyps:
+        # one lane per (subject, unique solution), padded to a fixed
+        # lane count per subject for a static program shape
+        lls = np.asarray(states.ll)                     # [S, trials]
+        cap = config.max_hyp_solutions or numtrials
+        n_lane = min(cap, numtrials)
+        lane_subj, lane_trial = [], []
+        for si in range(n_subj):
+            uniq = hypmod.unique_ll(lls[si], config.min_diff)[:n_lane]
+            if len(uniq) == 0:
+                uniq = np.asarray([int(np.argmax(lls[si]))])
+            uniq = np.concatenate(
+                [uniq, np.full((n_lane - len(uniq),), uniq[0])])
+            lane_subj.extend([si] * n_lane)
+            lane_trial.extend(int(t) for t in uniq)
+        lane_subj = np.asarray(lane_subj)
+        si_idx = jnp.asarray(lane_subj)
+        ti_idx = jnp.asarray(lane_trial)
+        init_posts = jax.tree.map(lambda a: a[si_idx, ti_idx], states.post)
+        lane_x = xs[si_idx]
+        lane_len = lens[si_idx]
+
+        specs = hypmod.vb_specs(dim, config.bounds, config.learn_hyps_keys)
+
+        def neg_elbo(hyps, x, lengths, init_post):
+            b = SeqBatch(x=x, lengths=lengths)
+            st = vbhmm.vbem_em(b, init_post, jax.lax.stop_gradient(hyps),
+                               max_iter=config.max_iter,
+                               min_diff=config.min_diff)
+            post = jax.lax.stop_gradient(st.post)
+            fb = vbhmm.e_step(b, post)
+            stats = vbhmm.suff_stats(b, fb)
+            return -vbhmm.elbo(b, post, fb, stats, hyps)
+
+        hyps_b, _, _ = hypmod.optimize_hyps_batched(
+            neg_elbo, hyps0, specs, (lane_x, lane_len, init_posts),
+            max_steps=config.hyp_max_steps)
+
+        def rerun(h, x, lengths, p):
+            return vbhmm.vbem_em(SeqBatch(x=x, lengths=lengths), p, h,
+                                 max_iter=config.max_iter,
+                                 min_diff=config.min_diff)
+
+        sts = jax.jit(jax.vmap(rerun))(hyps_b, lane_x, lane_len,
+                                       init_posts)
+        lane_ll = np.asarray(sts.ll)
+        picks, learned = [], []
+        for si in range(n_subj):
+            lanes = np.where(lane_subj == si)[0]
+            best = lanes[int(np.argmax(lane_ll[lanes]))]
+            picks.append(int(best))
+        picks = jnp.asarray(np.asarray(picks))
+        final = jax.tree.map(lambda a: a[picks], sts)
+        info["learned_hyps"] = jax.tree.map(lambda a: a[picks], hyps_b)
+    else:
+        best = jnp.argmax(states.ll, axis=1)            # [S]
+        final = jax.tree.map(
+            lambda a: a[jnp.arange(n_subj), best], states)
+
+    results = []
+    for si in range(n_subj):
+        st = jax.tree.map(lambda a: a[si], final)
+        res = vbhmm.finalize(batches[si], st)
+        if config.sortclusters:
+            res = vbhmm.standardize(res, config.sortclusters)
+        results.append(res)
+    return results, info
+
+
 def learn_batch(key: jax.Array, batches: Sequence[SeqBatch], k: int,
                 config: VBConfig = VBConfig(),
                 learn_hyps_batch: bool = False,

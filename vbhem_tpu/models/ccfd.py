@@ -33,12 +33,11 @@ class CCFDResult(NamedTuple):
     fitness: float
 
 
-def skl_distance_matrix(key, hmms: Sequence[HMM],
-                        data: Optional[Sequence[SeqBatch]] = None,
-                        n_samples: int = 100, t: int = 50) -> np.ndarray:
-    """Symmetric KL distance matrix (`myccfd.m:17-30`):
-    d(i,j) = 0.5 (KL(i||j) + KL(j||i)) estimated on each HMM's own data
-    (or Monte-Carlo samples)."""
+def _skl_distance_matrix_loop(key, hmms: Sequence[HMM],
+                              data: Optional[Sequence[SeqBatch]] = None,
+                              n_samples: int = 100, t: int = 50) -> np.ndarray:
+    """Host-side pair loop (kept as the oracle for the batched path and
+    as the fallback for heterogeneous per-subject data shapes)."""
     n = len(hmms)
     dist = np.zeros((n, n))
     # per-HMM log-likelihood of its own batch under every other model
@@ -53,6 +52,64 @@ def skl_distance_matrix(key, hmms: Sequence[HMM],
                                      hmms[i], batch=batch_j,
                                      n_samples=n_samples, t=t))
             dist[i, j] = dist[j, i] = 0.5 * (d1 + d2)
+    return dist
+
+
+def skl_distance_matrix(key, hmms: Sequence[HMM],
+                        data: Optional[Sequence[SeqBatch]] = None,
+                        n_samples: int = 100, t: int = 50) -> np.ndarray:
+    """Symmetric KL distance matrix (`myccfd.m:17-30`):
+    d(i,j) = 0.5 (KL(i||j) + KL(j||i)) estimated on each HMM's own data
+    (or Monte-Carlo samples).
+
+    TPU-native form: every KL is a difference of mean log-likelihoods,
+    so the whole matrix reduces to ONE [N_data x N_model] mean-loglik
+    table LLm, d(i,j) = 0.5 (LLm[i,i]-LLm[i,j] + LLm[j,j]-LLm[j,i]),
+    computed with a double vmap over the state-padded bank in one
+    dispatch (the reference loops `vbhmm_kld` per ordered pair).
+    Falls back to the pair loop when per-subject data shapes differ.
+    """
+    import jax.numpy as jnp
+    from ..containers import SeqBatch as SB
+    from .vbhem import h3m_from_hmms
+
+    n = len(hmms)
+    if data is not None:
+        shapes = {tuple(np.asarray(b.x).shape) for b in data}
+        if len(shapes) != 1:
+            return _skl_distance_matrix_loop(key, hmms, data,
+                                             n_samples, t)
+
+    bank = h3m_from_hmms(list(hmms))
+    hb = bank.hmm
+
+    if data is not None:
+        xs = jnp.stack([b.x for b in data])                 # [N,ns,T,D]
+        lens = jnp.stack([b.lengths for b in data])
+    else:
+        # each HMM's own Monte-Carlo sample (`vbhmm_kld.m:36-40`)
+        keys = jax.random.split(key, n)
+
+        def samp(prior, trans, mean, cov, ki):
+            h = HMM(prior=prior, trans=trans, mean=mean, cov=cov)
+            return hmm_tools.sample(ki, h, t, n_samples)[1]
+
+        xs = jax.vmap(samp)(hb.prior, hb.trans, hb.mean, hb.cov, keys)
+        lens = jnp.full((n, n_samples), t, jnp.int32)
+
+    def ll_mean(x, lengths, prior, trans, mean, cov):
+        b = SB(x=x, lengths=lengths)
+        h = HMM(prior=prior, trans=trans, mean=mean, cov=cov)
+        return jnp.mean(hmm_tools.loglik(b, h))
+
+    llm = jax.jit(jax.vmap(
+        lambda x, l: jax.vmap(
+            lambda p, a, m, c: ll_mean(x, l, p, a, m, c))(
+            hb.prior, hb.trans, hb.mean, hb.cov)))(xs, lens)
+    llm = np.asarray(llm)                                   # [N_data, N_model]
+    diag = np.diag(llm)
+    dist = 0.5 * ((diag[:, None] - llm) + (diag[None, :] - llm.T))
+    np.fill_diagonal(dist, 0.0)
     return dist
 
 

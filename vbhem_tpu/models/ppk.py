@@ -79,9 +79,8 @@ def ppk(hmm1: HMM, hmm2: HMM, t: int = DEFAULT_T,
     return jnp.sum(sep * pot)
 
 
-def gram_matrix(hmms: Sequence[HMM], t: int = DEFAULT_T) -> np.ndarray:
-    """Pairwise PPK Gram matrix (`ppk_sc.m:16-22`).  HMMs may have
-    heterogeneous state counts, so pairs are evaluated host-side."""
+def _gram_matrix_loop(hmms: Sequence[HMM], t: int = DEFAULT_T) -> np.ndarray:
+    """Host-side pair loop (kept as the oracle for the batched path)."""
     n = len(hmms)
     a = np.zeros((n, n))
     for i in range(n):
@@ -89,6 +88,34 @@ def gram_matrix(hmms: Sequence[HMM], t: int = DEFAULT_T) -> np.ndarray:
             v = float(ppk(hmms[i], hmms[j], t))
             a[i, j] = a[j, i] = v
     return a
+
+
+def gram_matrix(hmms: Sequence[HMM], t: int = DEFAULT_T) -> np.ndarray:
+    """Pairwise PPK Gram matrix (`ppk_sc.m:16-22`) as ONE dispatch.
+
+    Heterogeneous state counts are zero-padded (prior/transition mass 0,
+    identity covariance): a padded state contributes exactly 0 to every
+    `sep` update because its prior weight and incoming transition mass
+    are both zero, so the padded kernel equals the ragged one.  The full
+    N x N pair grid is then a double vmap — the TPU-native form of the
+    reference's `for n2=n1:N` loop (`ppk_sc.m:16-22`).
+    """
+    from .vbhem import h3m_from_hmms
+    bank = h3m_from_hmms(list(hmms))
+    hb = bank.hmm
+    n = bank.num_hmms
+
+    def pair(i, j):
+        h1 = HMM(prior=hb.prior[i], trans=hb.trans[i], mean=hb.mean[i],
+                 cov=hb.cov[i])
+        h2 = HMM(prior=hb.prior[j], trans=hb.trans[j], mean=hb.mean[j],
+                 cov=hb.cov[j])
+        return ppk(h1, h2, t)
+
+    ii, jj = jnp.meshgrid(jnp.arange(n), jnp.arange(n), indexing="ij")
+    g = jax.jit(jax.vmap(jax.vmap(pair)))(ii, jj)
+    g = np.asarray(g)
+    return 0.5 * (g + g.T)
 
 
 class PPKSCResult(NamedTuple):

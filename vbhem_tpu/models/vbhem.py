@@ -745,6 +745,42 @@ def optimize_solution_hyps(base: H3M, init_post: H3MPosterior,
     return hyps_opt, st, info
 
 
+def optimize_solution_hyps_batched(base: H3M, init_posts: H3MPosterior,
+                                   hyps0: VBHEMHyps, config: VBHEMConfig):
+    """Hyp-optimize a BANK of solutions (leading lane axis on
+    ``init_posts``) in one vmapped L-BFGS program — the reference
+    parfors exactly this loop (`vbhem_h3m_c.m:96-160`).  Returns
+    (hyps with lane axis, final VBHEMStates with lane axis)."""
+    from .. import hyp as hypmod
+
+    dim = base.hmm.mean.shape[-1]
+    specs = hypmod.vbhem_specs(dim, config.bounds, config.learn_hyps_keys)
+    kb = base.num_hmms
+    tilde_n = (config.nv * kb) * base.omega
+
+    def neg_elbo(hyps: VBHEMHyps, init_post: H3MPosterior):
+        st = vbhem_em(base, init_post, jax.lax.stop_gradient(hyps),
+                      nv=config.nv, tau=config.tau,
+                      max_iter=config.max_iter, min_diff=config.min_diff)
+        post = jax.lax.stop_gradient(st.post)
+        exps = reduced_expectations(post)
+        pair = e_step(base, post, exps, config.tau)
+        hat_z, z_ni, nj = soft_assignments(tilde_n, exps.log_omega,
+                                           pair.ll_elbo)
+        return -elbo(post, exps, pair, hat_z, z_ni, nj, hyps)
+
+    hyps_b, _, _ = hypmod.optimize_hyps_batched(
+        neg_elbo, hyps0, specs, (init_posts,),
+        max_steps=config.hyp_max_steps)
+
+    def rerun(h, p):
+        return vbhem_em(base, p, h, nv=config.nv, tau=config.tau,
+                        max_iter=config.max_iter, min_diff=config.min_diff)
+
+    sts = jax.jit(jax.vmap(rerun))(hyps_b, init_posts)
+    return hyps_b, sts
+
+
 def cluster(key: jax.Array, base: H3M, k, s,
             config: VBHEMConfig = VBHEMConfig(),
             hyps: Optional[VBHEMHyps] = None):
@@ -778,19 +814,25 @@ def cluster(key: jax.Array, base: H3M, k, s,
                     jax.random.fold_in(cell_key, mi), base, kk, sv,
                     config, hyps0, initmode=mode)
                 if config.learn_hyps:
-                    # hyp-optimize each unique restart solution
-                    # (`vbhem_h3m_c.m:96-160`)
+                    # hyp-optimize each unique restart solution in ONE
+                    # vmapped L-BFGS program (`vbhem_h3m_c.m:96-160`)
                     from .. import hyp as hypmod
                     uniq = hypmod.unique_ll(np.asarray(states.ll),
                                             config.min_diff)
                     if config.max_hyp_solutions is not None:
                         uniq = uniq[:config.max_hyp_solutions]
-                    for idx in uniq:
-                        st_i = jax.tree.map(lambda a: a[int(idx)], states)
-                        _, st_opt, _ = optimize_solution_hyps(
-                            base, st_i.post, hyps0, config)
-                        if float(st_opt.ll) > best_ll:
-                            best_st, best_ll = st_opt, float(st_opt.ll)
+                    if len(uniq) == 0:
+                        uniq = np.asarray(
+                            [int(np.argmax(np.asarray(states.ll)))])
+                    uniq = hypmod.pad_lanes(uniq, bucket=4)
+                    idx = jnp.asarray(np.asarray(uniq))
+                    init_posts = jax.tree.map(lambda a: a[idx], states.post)
+                    _, sts = optimize_solution_hyps_batched(
+                        base, init_posts, hyps0, config)
+                    bi_l = int(jnp.argmax(sts.ll))
+                    st_opt = jax.tree.map(lambda a: a[bi_l], sts)
+                    if float(st_opt.ll) > best_ll:
+                        best_st, best_ll = st_opt, float(st_opt.ll)
                 else:
                     st = select_best_trial(states)
                     if float(st.ll) > best_ll:
@@ -1033,12 +1075,82 @@ def fit_grid_batched(key: jax.Array, base: H3M, ks, ss,
     return states, cells, cmasks, smasks
 
 
+def optimize_hyps_grid_batched(base: H3M, states: VBHEMState, cells,
+                               cmasks: jnp.ndarray, smasks: jnp.ndarray,
+                               config: VBHEMConfig, hyps0: VBHEMHyps):
+    """Hyp-optimize every cell's uniqueLL survivors across the ENTIRE
+    padded (K,S) grid in one vmapped L-BFGS program.
+
+    The reference nests {grid recursion} x {parfor over unique
+    solutions} (`vbhem_h3m_cluster.m:261-354` + `vbhem_h3m_c.m:96-160`);
+    here every (cell, unique-solution) pair is one lane of a single
+    compiled program over the padded masked representation.
+
+    Returns (final VBHEMStates with leading lane axis, lane->cell index
+    array, learned hyps with leading lane axis).
+    """
+    import numpy as np
+    from .. import hyp as hypmod
+
+    lls = np.asarray(states.ll)                        # [n_cells, trials]
+    lanes = []
+    for ci in range(len(cells)):
+        uniq = hypmod.unique_ll(lls[ci], config.min_diff)
+        if config.max_hyp_solutions is not None:
+            uniq = uniq[:config.max_hyp_solutions]
+        if len(uniq) == 0:
+            uniq = [int(np.argmax(lls[ci]))]
+        lanes.extend((ci, int(t)) for t in uniq)
+    # pad the total lane count to a static bucket so the grid-level
+    # L-BFGS program compiles once per bucket, not once per repeat
+    while len(lanes) % 16:
+        lanes.append(lanes[0])
+    ci_idx = jnp.asarray([c for c, _ in lanes])
+    tr_idx = jnp.asarray([t for _, t in lanes])
+    init_posts = jax.tree.map(lambda a: a[ci_idx, tr_idx], states.post)
+    cm = cmasks[ci_idx]
+    sm = smasks[ci_idx]
+
+    dim = base.hmm.mean.shape[-1]
+    specs = hypmod.vbhem_specs(dim, config.bounds, config.learn_hyps_keys)
+    kb = base.num_hmms
+    tilde_n = (config.nv * kb) * base.omega
+
+    def neg_elbo(hyps, init_post, cmask, smask):
+        st = vbhem_em_masked(base, init_post, jax.lax.stop_gradient(hyps),
+                             nv=config.nv, tau=config.tau, cmask=cmask,
+                             smask=smask, max_iter=config.max_iter,
+                             min_diff=config.min_diff)
+        post = jax.lax.stop_gradient(st.post)
+        exps = reduced_expectations_masked(post, cmask, smask)
+        pair = e_step(base, post, exps, config.tau)
+        hat_z, z_ni, nj = soft_assignments(tilde_n, exps.log_omega,
+                                           pair.ll_elbo)
+        return -elbo_masked(post, exps, pair, hat_z, z_ni, nj, hyps,
+                            cmask, smask)
+
+    hyps_b, _, _ = hypmod.optimize_hyps_batched(
+        neg_elbo, hyps0, specs, (init_posts, cm, sm),
+        max_steps=config.hyp_max_steps)
+
+    def rerun(h, p, cmask, smask):
+        return vbhem_em_masked(base, p, h, nv=config.nv, tau=config.tau,
+                               cmask=cmask, smask=smask,
+                               max_iter=config.max_iter,
+                               min_diff=config.min_diff)
+
+    sts = jax.jit(jax.vmap(rerun))(hyps_b, init_posts, cm, sm)
+    return sts, np.asarray([c for c, _ in lanes]), hyps_b
+
+
 def cluster_batched(key: jax.Array, base: H3M, k, s,
                     config: VBHEMConfig = VBHEMConfig(),
                     hyps: Optional[VBHEMHyps] = None):
     """(K,S) model selection via the single-program padded sweep.
-    Same selection rule and return contract as :func:`cluster` (without
-    per-solution hyp re-optimization), one compile for the whole grid."""
+    Same selection rule and return contract as :func:`cluster`, one
+    compile for the whole grid; with ``config.learn_hyps`` the
+    per-unique-solution hyp optimization also runs as one vmapped
+    program over every (cell, solution) lane."""
     import numpy as np
     ks = list(k) if isinstance(k, (list, tuple, range)) else [int(k)]
     ss = list(s) if isinstance(s, (list, tuple, range)) else [int(s)]
@@ -1048,12 +1160,27 @@ def cluster_batched(key: jax.Array, base: H3M, k, s,
 
     states, cells, cmasks, smasks = fit_grid_batched(key, base, ks, ss,
                                                      config, hyps0)
-    lls = np.asarray(states.ll)                       # [n_cells, trials]
-    best_trial = lls.argmax(axis=1)
+    if config.learn_hyps:
+        sts, lane_cell, _ = optimize_hyps_grid_batched(
+            base, states, cells, cmasks, smasks, config, hyps0)
+        lane_ll = np.asarray(sts.ll)
+
+        def cell_state(ci):
+            lanes = np.where(lane_cell == ci)[0]
+            best_lane = lanes[int(np.argmax(lane_ll[lanes]))]
+            return jax.tree.map(lambda a: a[best_lane], sts)
+    else:
+        lls = np.asarray(states.ll)                   # [n_cells, trials]
+        best_trial = lls.argmax(axis=1)
+
+        def cell_state(ci):
+            return jax.tree.map(
+                lambda a: a[ci, best_trial[ci]], states)
+
     scores = np.full((len(ks), len(ss)), -np.inf)
     results = {}
     for ci, (kk, sv) in enumerate(cells):
-        st = jax.tree.map(lambda a, ci=ci: a[ci, best_trial[ci]], states)
+        st = cell_state(ci)
         # slice the padded state down to the active (K, S) sub-grid
         ksl, ssl = jnp.arange(kk), jnp.arange(sv)
         post = H3MPosterior(

@@ -330,57 +330,99 @@ def optimize_solution_hyps(batch: SeqBatch, init_post: HMMPosterior,
     return hyps_opt, st, info
 
 
+def optimize_solution_hyps_batched(batch: SeqBatch, init_posts: HMMPosterior,
+                                   hyps0: VBHyps, config: VBConfig):
+    """Hyp-optimize a BANK of solutions in one compiled program: the
+    per-unique-solution L-BFGS runs of `vbhmm_learn.m:498-552` become a
+    vmapped lane axis (the reference parfors this loop).  ``init_posts``
+    carries a leading lane axis.  Returns (hyps with lane axis, final
+    EMStates with lane axis)."""
+    from .. import hyp as hypmod
+
+    dim = batch.x.shape[-1]
+    specs = hypmod.vb_specs(dim, config.bounds, config.learn_hyps_keys)
+
+    def neg_elbo(hyps: VBHyps, init_post: HMMPosterior):
+        st = vbem_em(batch, init_post, jax.lax.stop_gradient(hyps),
+                     max_iter=config.max_iter, min_diff=config.min_diff)
+        post = jax.lax.stop_gradient(st.post)
+        fb = e_step(batch, post)
+        stats = suff_stats(batch, fb)
+        # gradient = dL/dhyps at the EM fixed point (posterior stopped)
+        return -elbo(batch, post, fb, stats, hyps)
+
+    hyps_b, _, _ = hypmod.optimize_hyps_batched(
+        neg_elbo, hyps0, specs, (init_posts,),
+        max_steps=config.hyp_max_steps)
+
+    def rerun(h, p):
+        return vbem_em(batch, p, h, max_iter=config.max_iter,
+                       min_diff=config.min_diff)
+
+    sts = jax.jit(jax.vmap(rerun))(hyps_b, init_posts)
+    return hyps_b, sts
+
+
 def learn(key: jax.Array, batch: SeqBatch, k, config: VBConfig = VBConfig(),
           hyps: Optional[VBHyps] = None):
     """Learn an HMM with restarts and optional model selection over K
     (`vbhmm_learn.m:232-654`).
 
     ``k`` may be an int or a sequence of ints.  With a sequence, each K
-    is fit and the winner maximizes ``LL + gammaln(K+1)`` — the
+    runs the FULL single-K path (restarts + hyp learning when enabled,
+    exactly as the reference recurses per K, `vbhmm_learn.m:364-388`)
+    and the winner maximizes ``LL + gammaln(K+1)`` — the
     multiple-parameterization correction of `vbhmm_learn.m:391`.
     Returns (VBHMMResult, dict of diagnostics).
     """
     if isinstance(k, (list, tuple, range)):
+        import numpy as np
         ks = list(k)
-        results = []
-        lls = []
+        results, sub_infos, lls = [], [], []
         for ki, kk in enumerate(ks):
             sub_key = jax.random.fold_in(key, ki)
-            st = select_best_trial(fit_single_k(sub_key, batch, kk, config, hyps))
-            res = finalize(batch, st)
-            if config.sortclusters:
-                res = standardize(res, config.sortclusters)
+            res, sub_info = learn(sub_key, batch, int(kk), config, hyps)
             results.append(res)
+            sub_infos.append(sub_info)
             lls.append(float(res.ll))
-        import numpy as np
         corrected = np.asarray(lls) + np.array(
             [float(gammaln(kk + 1)) for kk in ks])
         best = int(np.argmax(corrected))
         info = {"model_ll": corrected, "model_k": ks,
                 "model_best_k": ks[best], "model_all": results,
+                "model_infos": sub_infos,
                 "vbopt": config, "version": _version()}
+        if "learned_hyps" in sub_infos[best]:
+            info["learned_hyps"] = sub_infos[best]["learned_hyps"]
         return results[best], info
 
     states = fit_single_k(key, batch, int(k), config, hyps)
     info = {"model_best_k": int(k), "vbopt": config, "version": _version()}
     if config.learn_hyps:
         # dedup restart solutions by LL and hyp-optimize each unique one
-        # (`vbhmm_learn.m:484-552`), then take the best final ELBO.
+        # (`vbhmm_learn.m:484-552`) in ONE vmapped L-BFGS program, then
+        # take the best final ELBO.
         from .. import hyp as hypmod
         import numpy as np
         dim = batch.x.shape[-1]
         hyps0 = hyps if hyps is not None else VBHyps.from_config(
             config, dim, batch.x.dtype)
-        uniq = hypmod.unique_ll(np.asarray(states.ll), config.min_diff)[:5]
-        best_st, best_ll, best_hyps = None, -np.inf, hyps0
-        for idx in uniq:
-            st_i = jax.tree.map(lambda a: a[int(idx)], states)
-            h_opt, st_opt, _ = optimize_solution_hyps(
-                batch, st_i.post, hyps0, config)
-            if float(st_opt.ll) > best_ll:
-                best_st, best_ll, best_hyps = st_opt, float(st_opt.ll), h_opt
-        st = best_st
-        info["learned_hyps"] = best_hyps
+        uniq = hypmod.unique_ll(np.asarray(states.ll), config.min_diff)
+        if config.max_hyp_solutions is not None:
+            uniq = uniq[:config.max_hyp_solutions]
+        if len(uniq) == 0:
+            uniq = np.asarray([int(np.argmax(np.asarray(states.ll)))])
+        # pad the lane count to a static bucket (duplicate lanes are
+        # harmless under the final max-LL selection) so the batched
+        # L-BFGS program compiles once per bucket, not once per subject
+        uniq = hypmod.pad_lanes(uniq, bucket=4)
+        idx = jnp.asarray(uniq)
+        init_posts = jax.tree.map(lambda a: a[idx], states.post)
+        hyps_b, sts = optimize_solution_hyps_batched(
+            batch, init_posts, hyps0, config)
+        best = int(jnp.argmax(sts.ll))
+        st = jax.tree.map(lambda a: a[best], sts)
+        info["learned_hyps"] = jax.tree.map(lambda a: a[best], hyps_b)
     else:
         st = select_best_trial(states)
     res = finalize(batch, st)

@@ -28,10 +28,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..containers import H3M, H3MPosterior
 from ..models import vbhem
 
-try:  # jax>=0.4.35
-    from jax.experimental.shard_map import shard_map
+try:  # jax>=0.6 stable API
+    from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map
 
 
 def make_mesh(n_trial: int, n_base: int, devices=None) -> Mesh:
