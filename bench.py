@@ -14,25 +14,59 @@ the baseline is the target from BASELINE.json — 50x a single-core C-MEX
 implementation.  The single-core number is MEASURED, not estimated:
 `native/baseline_pair_estep.c` is a scalar C port of this repo's pair
 E-step (E3logN + backward/forward recursions, the same math as
-`ops/pair_estep.py`), compiled `gcc -O2` and timed on this machine at
-the bench shape (Kb=8192, Kr=8, Sb=Sr=3, D=2, tau=10):
+`ops/pair_estep.py`), compiled `gcc -O2` at the bench shape
+(Kb=8192, Kr=8, Sb=Sr=3, D=2, tau=10).  The baseline is RE-MEASURED on
+the current host at bench time (compile + run below); if that fails, or
+if the host is loaded and the fresh number comes out LOWER than the
+best idle-host measurement on record, the recorded idle number is used
+instead — i.e. we always divide by the LARGER (more conservative)
+baseline:
 
-  {"pairs_per_sec": 108936.7, ...}   # taskset -c 1, 3 reps, 2026-08-20
+  {"pairs_per_sec": 176877, ...}   # idle host, 2026-08-20 (ADVICE r2)
 
-giving a baseline of 50 x 1.089e5 = 5.447e6 pairs/s.
-vs_baseline = value / 5.447e6 (so vs_baseline >= 1 means the >=50x
-single-core target is met; multiply by 50 for the raw single-core
-speedup).
+vs_baseline = value / (50 x baseline_pairs_per_sec), so vs_baseline >= 1
+means the >=50x single-core target is met; multiply by 50 for the raw
+single-core speedup.
+
+Scope note (ADVICE r2): the C baseline times the pair E-STEP only,
+while the TPU metric includes the full EM iteration (E-step + soft
+assignments + ELBO + conjugate M-step).  The direction is conservative
+— the C number overestimates what a full single-core C EM loop would
+do, so vs_baseline understates the true full-EM speedup.
 """
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import jax
 import jax.numpy as jnp
 
-BASELINE_PAIRS_PER_SEC = 50 * 108936.7  # 50x MEASURED single-core C
-# (native/baseline_pair_estep.c on this host; see module docstring)
+# Best idle-host single-core measurement on record (pairs/s); used as a
+# floor for the fresh measurement so a loaded host can't inflate
+# vs_baseline.
+IDLE_HOST_PAIRS_PER_SEC = 176877.0
+
+
+def measure_c_baseline(kb=8192, kr=8):
+    """Compile and run native/baseline_pair_estep.c on this host; return
+    pairs/s, or None if the toolchain/run fails."""
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "native", "baseline_pair_estep.c")
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            exe = os.path.join(td, "baseline_pair_estep")
+            subprocess.run(["gcc", "-O2", "-o", exe, src, "-lm"],
+                           check=True, capture_output=True, timeout=120)
+            out = subprocess.run([exe, str(kb), str(kr)], check=True,
+                                 capture_output=True, timeout=600)
+            return float(json.loads(out.stdout)["pairs_per_sec"])
+    except Exception as e:  # missing gcc, timeout, parse failure ...
+        print(f"# C baseline remeasure failed ({e!r}); using recorded "
+              f"idle-host number", file=sys.stderr)
+        return None
 
 
 def make_problem(key, kb=512, sb=3, kr=8, sr=3, d=2, dtype=jnp.float32):
@@ -93,16 +127,24 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     pairs_per_sec = kb * kr * n_iters / dt
+
+    fresh = measure_c_baseline(kb=kb, kr=kr)
+    single_core = max(fresh or 0.0, IDLE_HOST_PAIRS_PER_SEC)
+    baseline = 50.0 * single_core
+
     print(json.dumps({
         "metric": "vbhem_pair_updates_per_sec",
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        "vs_baseline": round(pairs_per_sec / baseline, 3),
     }))
     # diagnostics to stderr (driver reads only stdout JSON)
     print(f"# device={jax.devices()[0].platform} Kb={kb} Kr={kr} tau={tau} "
           f"iters={n_iters} dt/iter={dt / n_iters * 1e3:.2f}ms "
-          f"final_elbo={float(out[1][-1]):.4g}", file=sys.stderr)
+          f"final_elbo={float(out[1][-1]):.4g} "
+          f"c_baseline={single_core:.1f} pairs/s"
+          f" ({'fresh' if fresh and fresh >= IDLE_HOST_PAIRS_PER_SEC else 'recorded idle-host'})",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
