@@ -172,3 +172,67 @@ def test_steady_state():
     ss = np.asarray(vbhmm.steady_state(trans))
     np.testing.assert_allclose(ss @ np.asarray(trans), ss, atol=1e-10)
     np.testing.assert_allclose(ss.sum(), 1.0, atol=1e-10)
+
+
+def gt_hmm(trans):
+    from tests.test_vbhem import gt_hmm as _g
+    return _g(trans)
+
+
+def test_split_initmode_recovers_model():
+    """'split' initmode (`vbhmm_init.m:104-111`): deterministic
+    component-splitting GMM init, single trial."""
+    from vbhem_tpu.config import VBConfig
+    h = gt_hmm([[0.7, 0.3], [0.3, 0.7]])
+    _, x = hmm_tools.sample(jax.random.key(11), h, t=50, n=30)
+    batch = SeqBatch(x=x, lengths=jnp.full((30,), 50, jnp.int32))
+    cfg = VBConfig(mu0=(1.5, 1.5), w0=1.0, initmode="split")
+    res, _ = vbhmm.learn(jax.random.key(1), batch, 2, cfg)
+    means = np.sort(np.asarray(res.model.mean), axis=0)
+    np.testing.assert_allclose(means, [[0, 0], [3, 3]], atol=0.4)
+    # deterministic: a different key gives the identical solution
+    res2, _ = vbhmm.learn(jax.random.key(99), batch, 2, cfg)
+    np.testing.assert_allclose(np.asarray(res.model.mean),
+                               np.asarray(res2.model.mean), rtol=1e-12)
+
+
+def test_initgmm_and_inithmm_modes():
+    """'initgmm' (user GMM) and 'inithmm' (user posterior) initmodes
+    (`vbhmm_init.m:93-120`, `:154-161`)."""
+    from vbhem_tpu.config import VBConfig
+    h = gt_hmm([[0.6, 0.4], [0.4, 0.6]])
+    _, x = hmm_tools.sample(jax.random.key(12), h, t=50, n=30)
+    batch = SeqBatch(x=x, lengths=jnp.full((30,), 50, jnp.int32))
+    cfg = VBConfig(mu0=(1.5, 1.5), w0=1.0, initmode="initgmm")
+    gmm = (np.array([0.5, 0.5]), np.array([[0.2, -0.1], [2.8, 3.1]]),
+           np.stack([np.eye(2), np.eye(2)]))
+    res, _ = vbhmm.learn(jax.random.key(1), batch, 2, cfg, initgmm=gmm)
+    means = np.sort(np.asarray(res.model.mean), axis=0)
+    np.testing.assert_allclose(means, [[0, 0], [3, 3]], atol=0.4)
+
+    cfg2 = VBConfig(mu0=(1.5, 1.5), w0=1.0, initmode="inithmm")
+    res2, _ = vbhmm.learn(jax.random.key(2), batch, 2, cfg2,
+                          inithmm=res.post)
+    np.testing.assert_allclose(np.sort(np.asarray(res2.model.mean), axis=0),
+                               [[0, 0], [3, 3]], atol=0.4)
+    # missing arg raises
+    import pytest
+    with pytest.raises(ValueError):
+        vbhmm.learn(jax.random.key(3), batch, 2, cfg)
+
+
+def test_keep_suboptimal():
+    """keep_suboptimal returns every uniqueLL restart solution
+    (`vbhmm_learn.m:417,600` keep_suboptimal_hmms)."""
+    from vbhem_tpu.config import VBConfig
+    h = gt_hmm([[0.6, 0.4], [0.4, 0.6]])
+    _, x = hmm_tools.sample(jax.random.key(13), h, t=30, n=10)
+    batch = SeqBatch(x=x, lengths=jnp.full((10,), 30, jnp.int32))
+    cfg = VBConfig(mu0=(1.5, 1.5), w0=1.0, numtrials=6,
+                   keep_suboptimal=True)
+    res, info = vbhmm.learn(jax.random.key(1), batch, 3, cfg)
+    subs = info["suboptimal"]
+    assert len(subs) >= 1
+    # the best kept solution equals the returned one
+    best = max(float(s.ll) for s in subs)
+    assert abs(best - float(res.ll)) < 1e-6 * abs(best)

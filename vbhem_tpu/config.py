@@ -65,6 +65,10 @@ class VBConfig:
     hyp_max_steps: int = 50
     bounds: HypBounds = HypBounds()
     # --- misc ---
+    covar_type: str = "full"      # full | diag emission covariances
+    # keep every uniqueLL restart solution in the output info
+    # (`vbhmm_learn.m:159,417,600` keep_suboptimal_hmms)
+    keep_suboptimal: bool = False
     verbose: int = 1
     use_pallas: bool = True       # Pallas FB kernel when on TPU (MEX analog)
 
@@ -94,7 +98,6 @@ class VBHEMConfig:
     # --- EM control ---
     trials: int = 100
     max_iter: int = 200
-    min_iter: int = 1
     min_diff: float = 1e-5
     sortclusters: str = "f"
     initmode: str = "auto"        # auto | baseem | gmmNew | wtkmeans | random | inith3m
@@ -116,8 +119,7 @@ class VBHEMConfig:
     # --- posterior-expectation conversion of inputs ---
     use_post: bool = True
     remove_empty: bool = True
-    covar_type: str = "full"
-    keep_suboptimal: bool = False
+    covar_type: str = "full"      # full | diag emission covariances
     verbose: int = 1
     use_pallas: bool = True
 

@@ -55,9 +55,10 @@ def learn_bank(key: jax.Array, batches: Sequence[SeqBatch], k: int,
         b = SeqBatch(x=x, lengths=lengths)
 
         def one_trial(tk):
-            post0 = vbhmm.random_init(tk, b, k, hyps0)
+            post0 = vbhmm.random_init(tk, b, k, hyps0, config.covar_type)
             return vbhmm.vbem_em(b, post0, hyps0, max_iter=config.max_iter,
-                                 min_diff=config.min_diff)
+                                 min_diff=config.min_diff,
+                                 covar_type=config.covar_type)
 
         return jax.vmap(one_trial)(jax.random.split(skey, numtrials))
 
@@ -93,7 +94,8 @@ def learn_bank(key: jax.Array, batches: Sequence[SeqBatch], k: int,
             b = SeqBatch(x=x, lengths=lengths)
             st = vbhmm.vbem_em(b, init_post, jax.lax.stop_gradient(hyps),
                                max_iter=config.max_iter,
-                               min_diff=config.min_diff)
+                               min_diff=config.min_diff,
+                               covar_type=config.covar_type)
             post = jax.lax.stop_gradient(st.post)
             fb = vbhmm.e_step(b, post)
             stats = vbhmm.suff_stats(b, fb)
@@ -106,7 +108,8 @@ def learn_bank(key: jax.Array, batches: Sequence[SeqBatch], k: int,
         def rerun(h, x, lengths, p):
             return vbhmm.vbem_em(SeqBatch(x=x, lengths=lengths), p, h,
                                  max_iter=config.max_iter,
-                                 min_diff=config.min_diff)
+                                 min_diff=config.min_diff,
+                                 covar_type=config.covar_type)
 
         sts = jax.jit(jax.vmap(rerun))(hyps_b, lane_x, lane_len,
                                        init_posts)
@@ -193,7 +196,8 @@ def learn_batch(key: jax.Array, batches: Sequence[SeqBatch], k: int,
         def one(init_post):
             st = vbhmm.vbem_em(b, init_post, jax.lax.stop_gradient(hyps),
                                max_iter=config.max_iter,
-                               min_diff=config.min_diff)
+                               min_diff=config.min_diff,
+                               covar_type=config.covar_type)
             post = jax.lax.stop_gradient(st.post)
             fb = vbhmm.e_step(b, post)
             stats = vbhmm.suff_stats(b, fb)
@@ -216,7 +220,7 @@ def learn_batch(key: jax.Array, batches: Sequence[SeqBatch], k: int,
         posts_s = jax.tree.map(lambda a: a[i], posts)
         sts = jax.vmap(lambda p: vbhmm.vbem_em(
             b, p, hyps_opt, max_iter=config.max_iter,
-            min_diff=config.min_diff))(posts_s)
+            min_diff=config.min_diff, covar_type=config.covar_type))(posts_s)
         best = int(jnp.argmax(sts.ll))
         st = jax.tree.map(lambda a: a[best], sts)
         res = vbhmm.finalize(b, st)

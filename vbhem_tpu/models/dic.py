@@ -21,9 +21,17 @@ from .vbhem import VBHEMResult
 
 
 def dic(base: H3M, res: VBHEMResult, tau: int, lambda0: float = 1.0,
-        per_time: bool = False) -> tuple:
+        per_time: bool = False, synthetic: bool = False) -> tuple:
     """Returns (P_d, DIC).  ``lambda0`` is the NIW mean-precision prior
-    used during learning (`myDIC.m:25`)."""
+    used during learning (`myDIC.m:25`).
+
+    ``synthetic`` selects the reference's `issyn=1` variant
+    (`myDIC.m:98-154`): the Sigma plug-in precision is the inverse of
+    the converted point-estimate covariance, i.e. (v-D-1)W (with the
+    small-v fallback of `convert_h3mrtoh3mb.m:44-70`), instead of the vb
+    path's vW (`myDIC.m:86-90`).  The count weights (N_Eta, N_Eps,
+    Nl_j) are the aggregated E-step statistics in both variants here —
+    the reference stores the same numbers on different structs."""
     post = res.post
     reduced = res.h3m
     kb = base.num_hmms
@@ -52,13 +60,18 @@ def dic(base: H3M, res: VBHEMResult, tau: int, lambda0: float = 1.0,
     lam = np.asarray(post.niw.beta)
     term_mu = float(-0.5 * np.sum(lambda0 / lam))
 
-    # Sigma term (myDIC.m:82-96): plug-in precision = v*W
+    # Sigma term: plug-in precision = v*W (vb path, myDIC.m:82-96) or
+    # inv(expected covariance) (synthetic path, myDIC.m:139-147)
     log_lam_tilde = np.asarray(e_log_det_lambda(post.niw.v, post.niw.w))
     v = np.asarray(post.niw.v)
     w = np.asarray(post.niw.w)
-    sign, logdet_vw = np.linalg.slogdet(v[..., None, None] * w)
+    if synthetic:
+        _, logdet_cov = np.linalg.slogdet(np.asarray(reduced.hmm.cov))
+        logdet_plug = -logdet_cov
+    else:
+        _, logdet_plug = np.linalg.slogdet(v[..., None, None] * w)
     n_rho = np.asarray(res.counts)
-    term_w = float(0.5 * np.sum(n_rho * (logdet_vw - log_lam_tilde)))
+    term_w = float(0.5 * np.sum(n_rho * (logdet_plug - log_lam_tilde)))
 
     p_d = 2.0 * (term_omega + term_pi + term_eps + term_mu + term_w)
 

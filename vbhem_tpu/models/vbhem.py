@@ -76,7 +76,7 @@ class VBHEMHyps(NamedTuple):
 
 def h3m_from_results(results: Sequence[VBHMMResult], use_post: bool = True,
                      s_max: Optional[int] = None,
-                     dtype=None) -> H3M:
+                     dtype=None, covar_type: str = "full") -> H3M:
     """Convert learned VBHMMs into a dense padded base H3M.
 
     With ``use_post`` (the reference default, `vbhem_h3m_cluster.m:210`),
@@ -119,6 +119,9 @@ def h3m_from_results(results: Sequence[VBHMMResult], use_post: bool = True,
             cov[i, :s] = np.asarray(r.model.cov)
         mean[i, :s] = np.asarray(r.post.niw.m if use_post else r.model.mean)
 
+    if covar_type == "diag":
+        # `hmms_to_h3m_hem.m:78-91` covmode 'diag': keep diag(cov) only
+        cov = cov * np.eye(d, dtype=dt)
     omega = np.full((k_b,), 1.0 / k_b, dt)
     hmm = HMM(prior=jnp.asarray(prior), trans=jnp.asarray(trans),
               mean=jnp.asarray(mean), cov=jnp.asarray(cov))
@@ -253,9 +256,16 @@ def aggregate_stats(base: H3M, pair: PairStats, z_ni: jnp.ndarray,
                         nj_rho=nj_rho, y_bar=y_bar, s_plus_c=s_plus_c)
 
 
-def m_step(stats: ClusterStats, hyps: VBHEMHyps) -> H3MPosterior:
+def m_step(stats: ClusterStats, hyps: VBHEMHyps,
+           covar_type: str = "full") -> H3MPosterior:
     """Conjugate natural-parameter updates (`vbhem_mstep_component.m:42-72`
-    + the alpha update of `vbhem_h3m_c_step_fc.m:394-397`)."""
+    + the alpha update of `vbhem_h3m_c_step_fc.m:394-397`).
+
+    ``covar_type='diag'``: the scatter enters as diag(S_plus_C) and the
+    stored Wishart scale is the diagonal of the inverse
+    (`vbhem_mstep_component.m:55-63`) — kept embedded as a diagonal
+    matrix so every downstream formula is unchanged (the reference
+    re-embeds it too, `vbhemh3m_lb.m:127`)."""
     dtype = stats.y_bar.dtype
     alpha = hyps.alpha0 + stats.nj
     eta = hyps.eta0 + stats.nj_rho1
@@ -267,9 +277,15 @@ def m_step(stats: ClusterStats, hyps: VBHEMHyps) -> H3MPosterior:
     mult1 = hyps.lambda0 * stats.nj_rho / lam
     diff3 = stats.y_bar - hyps.m0                              # [Kr,Sr,D]
     w0inv = jnp.diag(hyps.w0inv_diag.astype(dtype))
-    winv = (w0inv + stats.nj_rho[..., None, None] * stats.s_plus_c
+    d = stats.y_bar.shape[-1]
+    s_pc = stats.s_plus_c
+    if covar_type == "diag":
+        s_pc = s_pc * jnp.eye(d, dtype=dtype)
+    winv = (w0inv + stats.nj_rho[..., None, None] * s_pc
             + mult1[..., None, None] * diff3[..., :, None] * diff3[..., None, :])
     w = inv_psd(winv)
+    if covar_type == "diag":
+        w = w * jnp.eye(d, dtype=dtype)
     return H3MPosterior(alpha=alpha, eta=eta, epsilon=epsilon,
                         niw=NIW(beta=lam, v=v, m=m, w=w))
 
@@ -338,6 +354,13 @@ def elbo(post: H3MPosterior, exps: ReducedExpectations, pair: PairStats,
 # EM loop (vbhem_h3m_c_step_fc.m)
 # ---------------------------------------------------------------------------
 
+def _project_diag(post: H3MPosterior) -> H3MPosterior:
+    """Constrain a posterior's Wishart scales to diagonal matrices (the
+    diag-covariance model keeps W as a vector, embedded diagonally)."""
+    eye = jnp.eye(post.niw.dim, dtype=post.niw.w.dtype)
+    return post._replace(niw=post.niw._replace(w=post.niw.w * eye))
+
+
 class VBHEMState(NamedTuple):
     post: H3MPosterior
     ll: jnp.ndarray
@@ -352,7 +375,8 @@ class VBHEMState(NamedTuple):
 def vbhem_em(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
              nv: int, tau: int, max_iter: int = 200,
              min_diff: float = 1e-5, kb_total: Optional[int] = None,
-             axis_name: Optional[str] = None) -> VBHEMState:
+             axis_name: Optional[str] = None,
+             covar_type: str = "full") -> VBHEMState:
     """The VBHEM EM loop, mirroring `vbhem_h3m_c_step_fc.m:115-433`.
 
     Virtual counts: tilde_N_i = Nv * Kb * omega_i (`:26-30`).  Control
@@ -368,6 +392,8 @@ def vbhem_em(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
     kb = kb_total if kb_total is not None else base.num_hmms
     tilde_n = (nv * kb) * base.omega
     big_neg = jnp.asarray(-jnp.finfo(dtype).max, dtype)
+    if covar_type == "diag":
+        init_post = _project_diag(init_post)
 
     def body(st: VBHEMState) -> VBHEMState:
         exps = reduced_expectations(st.post)
@@ -381,7 +407,7 @@ def vbhem_em(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
         converged = jnp.logical_and(st.it > 0, lik_incr <= min_diff)
         done = converged | unstable | (st.it + 1 >= max_iter)
         stats = aggregate_stats(base, pair, z_ni, nj, axis_name)
-        new_post = m_step(stats, hyps)
+        new_post = m_step(stats, hyps, covar_type)
         new_post = jax.tree.map(
             lambda new, old: jnp.where(unstable, old, new), new_post, st.post)
         return VBHEMState(post=new_post, ll=ll, last_ll=st.ll, it=st.it + 1,
@@ -390,9 +416,17 @@ def vbhem_em(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
 
     kr, sr = init_post.num_clusters, init_post.num_states
     d = init_post.niw.dim
+    # state shapes follow the LOCAL base shard (kb_total only scales
+    # tilde_N); under shard_map the loop body produces [kb_local, Kr]
+    kb_local = base.num_hmms
+    # big_neg is made (vacuously) data-dependent so the carry's ll /
+    # last_ll inherit the varying-manual-axes of the inputs under
+    # shard_map (a bare constant is 'unvarying' and rejected).
+    ll0 = big_neg + jnp.zeros((), dtype) * jnp.sum(init_post.alpha)
     st0 = VBHEMState(
-        post=init_post, ll=big_neg, last_ll=big_neg, it=jnp.asarray(0),
-        hat_z=jnp.zeros((kb, kr), dtype), ll_elbo=jnp.zeros((kb, kr), dtype),
+        post=init_post, ll=ll0, last_ll=ll0, it=jnp.asarray(0),
+        hat_z=jnp.zeros((kb_local, kr), dtype),
+        ll_elbo=jnp.zeros((kb_local, kr), dtype),
         stats=ClusterStats(
             nj=jnp.zeros((kr,), dtype), nj_rho1=jnp.zeros((kr, sr), dtype),
             nj_rho2rho=jnp.zeros((kr, sr, sr), dtype),
@@ -400,7 +434,12 @@ def vbhem_em(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
             y_bar=jnp.zeros((kr, sr, d), dtype),
             s_plus_c=jnp.zeros((kr, sr, d, d), dtype)),
         done=jnp.asarray(False))
-    return jax.lax.while_loop(lambda st: ~st.done, body, st0)
+    # First iteration outside the loop (the loop body always ran at
+    # least once): the carry then inherits its varying-manual-axes from
+    # the actual inputs, which shard_map's while_loop vma check requires
+    # (constant-initialized carries are unvarying and get rejected).
+    st1 = body(st0)
+    return jax.lax.while_loop(lambda st: ~st.done, body, st1)
 
 
 def em_trace(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
@@ -703,7 +742,8 @@ def fit_single_ks(key: jax.Array, base: H3M, kr: int, sr: int,
     def one_trial(trial_key):
         post0 = init_fn(trial_key, base, kr, sr, hyps, config.nv)
         return vbhem_em(base, post0, hyps, nv=config.nv, tau=config.tau,
-                        max_iter=config.max_iter, min_diff=config.min_diff)
+                        max_iter=config.max_iter, min_diff=config.min_diff,
+                        covar_type=config.covar_type)
 
     keys = jax.random.split(key, config.trials)
     return jax.vmap(one_trial)(keys)
@@ -731,7 +771,8 @@ def optimize_solution_hyps(base: H3M, init_post: H3MPosterior,
     def neg_elbo(hyps: VBHEMHyps):
         st = vbhem_em(base, init_post, jax.lax.stop_gradient(hyps),
                       nv=config.nv, tau=config.tau,
-                      max_iter=config.max_iter, min_diff=config.min_diff)
+                      max_iter=config.max_iter, min_diff=config.min_diff,
+                      covar_type=config.covar_type)
         post = jax.lax.stop_gradient(st.post)
         exps = reduced_expectations(post)
         pair = e_step(base, post, exps, config.tau)
@@ -741,7 +782,8 @@ def optimize_solution_hyps(base: H3M, init_post: H3MPosterior,
 
     hyps_opt, info = hypmod.optimize_hyps(neg_elbo, hyps0, specs)
     st = vbhem_em(base, init_post, hyps_opt, nv=config.nv, tau=config.tau,
-                  max_iter=config.max_iter, min_diff=config.min_diff)
+                  max_iter=config.max_iter, min_diff=config.min_diff,
+                  covar_type=config.covar_type)
     return hyps_opt, st, info
 
 
@@ -761,7 +803,8 @@ def optimize_solution_hyps_batched(base: H3M, init_posts: H3MPosterior,
     def neg_elbo(hyps: VBHEMHyps, init_post: H3MPosterior):
         st = vbhem_em(base, init_post, jax.lax.stop_gradient(hyps),
                       nv=config.nv, tau=config.tau,
-                      max_iter=config.max_iter, min_diff=config.min_diff)
+                      max_iter=config.max_iter, min_diff=config.min_diff,
+                      covar_type=config.covar_type)
         post = jax.lax.stop_gradient(st.post)
         exps = reduced_expectations(post)
         pair = e_step(base, post, exps, config.tau)
@@ -775,7 +818,8 @@ def optimize_solution_hyps_batched(base: H3M, init_posts: H3MPosterior,
 
     def rerun(h, p):
         return vbhem_em(base, p, h, nv=config.nv, tau=config.tau,
-                        max_iter=config.max_iter, min_diff=config.min_diff)
+                        max_iter=config.max_iter, min_diff=config.min_diff,
+                        covar_type=config.covar_type)
 
     sts = jax.jit(jax.vmap(rerun))(hyps_b, init_posts)
     return hyps_b, sts
@@ -988,7 +1032,8 @@ def elbo_masked(post: H3MPosterior, exps: ReducedExpectations,
 def vbhem_em_masked(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
                     nv: int, tau: int, cmask: jnp.ndarray,
                     smask: jnp.ndarray, max_iter: int = 200,
-                    min_diff: float = 1e-5) -> VBHEMState:
+                    min_diff: float = 1e-5,
+                    covar_type: str = "full") -> VBHEMState:
     """:func:`vbhem_em` over a PADDED (Kmax, Smax) cell: cluster/state
     masks confine all probability mass to the active sub-grid, so every
     (K, S) grid cell runs as the same compiled program."""
@@ -996,6 +1041,8 @@ def vbhem_em_masked(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
     kb = base.num_hmms
     tilde_n = (nv * kb) * base.omega
     big_neg = jnp.asarray(-jnp.finfo(dtype).max, dtype)
+    if covar_type == "diag":
+        init_post = _project_diag(init_post)
 
     def body(st: VBHEMState) -> VBHEMState:
         exps = reduced_expectations_masked(st.post, cmask, smask)
@@ -1010,7 +1057,7 @@ def vbhem_em_masked(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
         converged = jnp.logical_and(st.it > 0, lik_incr <= min_diff)
         done = converged | unstable | (st.it + 1 >= max_iter)
         stats = aggregate_stats(base, pair, z_ni, nj)
-        new_post = m_step(stats, hyps)
+        new_post = m_step(stats, hyps, covar_type)
         new_post = jax.tree.map(
             lambda new, old: jnp.where(unstable, old, new), new_post,
             st.post)
@@ -1020,8 +1067,12 @@ def vbhem_em_masked(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
 
     kr, sr = init_post.num_clusters, init_post.num_states
     d = init_post.niw.dim
+    # big_neg is made (vacuously) data-dependent so the carry's ll /
+    # last_ll inherit the varying-manual-axes of the inputs under
+    # shard_map (a bare constant is 'unvarying' and rejected).
+    ll0 = big_neg + jnp.zeros((), dtype) * jnp.sum(init_post.alpha)
     st0 = VBHEMState(
-        post=init_post, ll=big_neg, last_ll=big_neg, it=jnp.asarray(0),
+        post=init_post, ll=ll0, last_ll=ll0, it=jnp.asarray(0),
         hat_z=jnp.zeros((kb, kr), dtype),
         ll_elbo=jnp.zeros((kb, kr), dtype),
         stats=ClusterStats(
@@ -1031,7 +1082,12 @@ def vbhem_em_masked(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
             y_bar=jnp.zeros((kr, sr, d), dtype),
             s_plus_c=jnp.zeros((kr, sr, d, d), dtype)),
         done=jnp.asarray(False))
-    return jax.lax.while_loop(lambda st: ~st.done, body, st0)
+    # First iteration outside the loop (the loop body always ran at
+    # least once): the carry then inherits its varying-manual-axes from
+    # the actual inputs, which shard_map's while_loop vma check requires
+    # (constant-initialized carries are unvarying and get rejected).
+    st1 = body(st0)
+    return jax.lax.while_loop(lambda st: ~st.done, body, st1)
 
 
 def fit_grid_batched(key: jax.Array, base: H3M, ks, ss,
@@ -1065,7 +1121,8 @@ def fit_grid_batched(key: jax.Array, base: H3M, ks, ss,
         return vbhem_em_masked(base, post0, hyps, nv=config.nv,
                                tau=config.tau, cmask=cmask, smask=smask,
                                max_iter=config.max_iter,
-                               min_diff=config.min_diff)
+                               min_diff=config.min_diff,
+                               covar_type=config.covar_type)
 
     n_cells = len(cells)
     keys = jax.random.split(key, (n_cells, config.trials))
@@ -1120,7 +1177,8 @@ def optimize_hyps_grid_batched(base: H3M, states: VBHEMState, cells,
         st = vbhem_em_masked(base, init_post, jax.lax.stop_gradient(hyps),
                              nv=config.nv, tau=config.tau, cmask=cmask,
                              smask=smask, max_iter=config.max_iter,
-                             min_diff=config.min_diff)
+                             min_diff=config.min_diff,
+                             covar_type=config.covar_type)
         post = jax.lax.stop_gradient(st.post)
         exps = reduced_expectations_masked(post, cmask, smask)
         pair = e_step(base, post, exps, config.tau)
@@ -1137,7 +1195,8 @@ def optimize_hyps_grid_batched(base: H3M, states: VBHEMState, cells,
         return vbhem_em_masked(base, p, h, nv=config.nv, tau=config.tau,
                                cmask=cmask, smask=smask,
                                max_iter=config.max_iter,
-                               min_diff=config.min_diff)
+                               min_diff=config.min_diff,
+                               covar_type=config.covar_type)
 
     sts = jax.jit(jax.vmap(rerun))(hyps_b, init_posts, cm, sm)
     return sts, np.asarray([c for c, _ in lanes]), hyps_b

@@ -89,8 +89,16 @@ def suff_stats(batch: SeqBatch, fb: FBStats) -> SuffStats:
     return SuffStats(nk1=nk1, nk=nk, m_trans=m_trans, xbar=xbar, s=s)
 
 
-def m_step(stats: SuffStats, hyps: VBHyps) -> HMMPosterior:
-    """Conjugate Dirichlet/NIW updates (`vbhmm_em.m:352-408`)."""
+def m_step(stats: SuffStats, hyps: VBHyps,
+           covar_type: str = "full") -> HMMPosterior:
+    """Conjugate Dirichlet/NIW updates (`vbhmm_em.m:352-408`).
+
+    ``covar_type='diag'`` constrains the Wishart scale to diagonal
+    matrices, following the VBHEM layer's diag convention
+    (`vbhem_mstep_component.m:55-63`: scatter enters as diag(S), and the
+    stored W is diag of the inverse); downstream E-step/ELBO formulas
+    are unchanged because the reference itself embeds the diag vector
+    back into a diagonal matrix (`vbhemh3m_lb.m:127`)."""
     dtype = stats.xbar.dtype
     d = stats.xbar.shape[-1]
     alpha = hyps.alpha0 + stats.nk1 + tiny(dtype)
@@ -101,9 +109,14 @@ def m_step(stats: SuffStats, hyps: VBHyps) -> HMMPosterior:
     mult1 = hyps.beta0 * stats.nk / (hyps.beta0 + stats.nk)          # [K]
     diff3 = stats.xbar - hyps.m0[None, :]                            # [K, D]
     w0inv = jnp.diag(hyps.w0inv_diag.astype(dtype))
-    winv = (w0inv[None] + stats.nk[:, None, None] * stats.s
+    s = stats.s
+    if covar_type == "diag":
+        s = s * jnp.eye(d, dtype=dtype)
+    winv = (w0inv[None] + stats.nk[:, None, None] * s
             + mult1[:, None, None] * diff3[:, :, None] * diff3[:, None, :])
     w = inv_psd(winv)
+    if covar_type == "diag":
+        w = w * jnp.eye(d, dtype=dtype)
     return HMMPosterior(alpha=alpha, epsilon=epsilon,
                         niw=NIW(beta=beta, v=v, m=m, w=w))
 
@@ -182,7 +195,8 @@ class EMState(NamedTuple):
 
 
 def vbem_em(batch: SeqBatch, init_post: HMMPosterior, hyps: VBHyps,
-            max_iter: int = 100, min_diff: float = 1e-5) -> EMState:
+            max_iter: int = 100, min_diff: float = 1e-5,
+            covar_type: str = "full") -> EMState:
     """Run the VBEM loop to convergence (`vbhmm_em.m:112-414`).
 
     Matches the reference's control flow: each iteration is
@@ -204,7 +218,7 @@ def vbem_em(batch: SeqBatch, init_post: HMMPosterior, hyps: VBHyps,
         lik_incr = jnp.abs((ll - st.ll) / st.ll)
         converged = jnp.logical_and(st.it > 0, lik_incr <= min_diff)
         done = converged | unstable | (st.it + 1 >= max_iter)
-        new_post = m_step(stats, hyps)
+        new_post = m_step(stats, hyps, covar_type)
         # On an unstable iteration keep the previous posterior.
         new_post = jax.tree.map(
             lambda new, old: jnp.where(unstable, old, new), new_post, st.post)
@@ -235,7 +249,8 @@ def em_trace(batch: SeqBatch, init_post: HMMPosterior, hyps: VBHyps,
 
 
 def init_from_gmm(weight: jnp.ndarray, mean: jnp.ndarray, cov: jnp.ndarray,
-                  n_total: jnp.ndarray, hyps: VBHyps) -> HMMPosterior:
+                  n_total: jnp.ndarray, hyps: VBHyps,
+                  covar_type: str = "full") -> HMMPosterior:
     """GMM -> initial variational parameters (`vbhmm_init.m:163-199`)."""
     k, d = mean.shape
     dtype = mean.dtype
@@ -249,15 +264,19 @@ def init_from_gmm(weight: jnp.ndarray, mean: jnp.ndarray, cov: jnp.ndarray,
     mult1 = hyps.beta0 * nk / (hyps.beta0 + nk)
     diff3 = mean - hyps.m0[None, :]
     w0inv = jnp.diag(hyps.w0inv_diag.astype(dtype))
+    if covar_type == "diag":
+        cov = cov * jnp.eye(d, dtype=dtype)
     winv = (w0inv[None] + nk[:, None, None] * cov
             + mult1[:, None, None] * diff3[:, :, None] * diff3[:, None, :])
     w = inv_psd(winv)
+    if covar_type == "diag":
+        w = w * jnp.eye(d, dtype=dtype)
     return HMMPosterior(alpha=alpha, epsilon=epsilon,
                         niw=NIW(beta=beta, v=v, m=m, w=w))
 
 
 def random_init(key: jax.Array, batch: SeqBatch, k: int,
-                hyps: VBHyps) -> HMMPosterior:
+                hyps: VBHyps, covar_type: str = "full") -> HMMPosterior:
     """'random' initmode: GMM fit on pooled data with a random-sample
     start (`vbhmm_init.m:25-91`).  Padded rows are excluded by giving
     them zero weight in the GMM fit."""
@@ -265,7 +284,22 @@ def random_init(key: jax.Array, batch: SeqBatch, k: int,
     x = batch.x.reshape(n * t_max, d)
     w = batch.mask.reshape(n * t_max).astype(x.dtype)
     g = fit_gmm(key, x, k, weights=w)
-    return init_from_gmm(g.weight, g.mean, g.cov, batch.total.astype(x.dtype), hyps)
+    return init_from_gmm(g.weight, g.mean, g.cov,
+                         batch.total.astype(x.dtype), hyps, covar_type)
+
+
+def split_init(batch: SeqBatch, k: int, hyps: VBHyps,
+               covar_type: str = "full") -> HMMPosterior:
+    """'split' initmode: deterministic component-splitting GMM on the
+    pooled data (`vbhmm_init.m:104-111`), then the same GMM->posterior
+    conversion as 'random'."""
+    from ..ops.gmm import fit_gmm_split
+    n, t_max, d = batch.x.shape
+    x = batch.x.reshape(n * t_max, d)
+    w = batch.mask.reshape(n * t_max).astype(x.dtype)
+    g = fit_gmm_split(x, k, weights=w)
+    return init_from_gmm(g.weight, g.mean, g.cov,
+                         batch.total.astype(x.dtype), hyps, covar_type)
 
 
 def fit_single_k(key: jax.Array, batch: SeqBatch, k: int, config: VBConfig,
@@ -278,11 +312,17 @@ def fit_single_k(key: jax.Array, batch: SeqBatch, k: int, config: VBConfig,
         hyps = VBHyps.from_config(config, batch.x.shape[-1], dtype)
     numtrials = 1 if k == 1 else config.numtrials
 
+    if init_post is None and config.initmode == "split":
+        # 'split' is deterministic -> one shared init for every trial
+        init_post = split_init(batch, k, hyps, config.covar_type)
+        numtrials = 1
+
     def one_trial(trial_key):
         post0 = init_post if init_post is not None else random_init(
-            trial_key, batch, k, hyps)
+            trial_key, batch, k, hyps, config.covar_type)
         return vbem_em(batch, post0, hyps,
-                       max_iter=config.max_iter, min_diff=config.min_diff)
+                       max_iter=config.max_iter, min_diff=config.min_diff,
+                       covar_type=config.covar_type)
 
     keys = jax.random.split(key, numtrials)
     return jax.vmap(one_trial)(keys)
@@ -317,7 +357,8 @@ def optimize_solution_hyps(batch: SeqBatch, init_post: HMMPosterior,
 
     def neg_elbo(hyps: VBHyps):
         st = vbem_em(batch, init_post, jax.lax.stop_gradient(hyps),
-                     max_iter=config.max_iter, min_diff=config.min_diff)
+                     max_iter=config.max_iter, min_diff=config.min_diff,
+                     covar_type=config.covar_type)
         post = jax.lax.stop_gradient(st.post)
         fb = e_step(batch, post)
         stats = suff_stats(batch, fb)
@@ -326,7 +367,8 @@ def optimize_solution_hyps(batch: SeqBatch, init_post: HMMPosterior,
 
     hyps_opt, info = hypmod.optimize_hyps(neg_elbo, hyps0, specs)
     st = vbem_em(batch, init_post, hyps_opt,
-                 max_iter=config.max_iter, min_diff=config.min_diff)
+                 max_iter=config.max_iter, min_diff=config.min_diff,
+                 covar_type=config.covar_type)
     return hyps_opt, st, info
 
 
@@ -344,7 +386,8 @@ def optimize_solution_hyps_batched(batch: SeqBatch, init_posts: HMMPosterior,
 
     def neg_elbo(hyps: VBHyps, init_post: HMMPosterior):
         st = vbem_em(batch, init_post, jax.lax.stop_gradient(hyps),
-                     max_iter=config.max_iter, min_diff=config.min_diff)
+                     max_iter=config.max_iter, min_diff=config.min_diff,
+                     covar_type=config.covar_type)
         post = jax.lax.stop_gradient(st.post)
         fb = e_step(batch, post)
         stats = suff_stats(batch, fb)
@@ -357,14 +400,16 @@ def optimize_solution_hyps_batched(batch: SeqBatch, init_posts: HMMPosterior,
 
     def rerun(h, p):
         return vbem_em(batch, p, h, max_iter=config.max_iter,
-                       min_diff=config.min_diff)
+                       min_diff=config.min_diff,
+                       covar_type=config.covar_type)
 
     sts = jax.jit(jax.vmap(rerun))(hyps_b, init_posts)
     return hyps_b, sts
 
 
 def learn(key: jax.Array, batch: SeqBatch, k, config: VBConfig = VBConfig(),
-          hyps: Optional[VBHyps] = None):
+          hyps: Optional[VBHyps] = None, initgmm=None,
+          inithmm: Optional[HMMPosterior] = None):
     """Learn an HMM with restarts and optional model selection over K
     (`vbhmm_learn.m:232-654`).
 
@@ -373,7 +418,12 @@ def learn(key: jax.Array, batch: SeqBatch, k, config: VBConfig = VBConfig(),
     exactly as the reference recurses per K, `vbhmm_learn.m:364-388`)
     and the winner maximizes ``LL + gammaln(K+1)`` — the
     multiple-parameterization correction of `vbhmm_learn.m:391`.
-    Returns (VBHMMResult, dict of diagnostics).
+
+    ``initgmm`` (a `(prior, mean, cov)` triple or an
+    :class:`..ops.gmm.GMM`) and ``inithmm`` (an existing posterior)
+    drive the 'initgmm' / 'inithmm' initmodes (`vbhmm_init.m:93-120`,
+    `:154-161`); config.initmode='split' uses the deterministic
+    component-splitting GMM.  Returns (VBHMMResult, dict).
     """
     if isinstance(k, (list, tuple, range)):
         import numpy as np
@@ -381,7 +431,8 @@ def learn(key: jax.Array, batch: SeqBatch, k, config: VBConfig = VBConfig(),
         results, sub_infos, lls = [], [], []
         for ki, kk in enumerate(ks):
             sub_key = jax.random.fold_in(key, ki)
-            res, sub_info = learn(sub_key, batch, int(kk), config, hyps)
+            res, sub_info = learn(sub_key, batch, int(kk), config, hyps,
+                                  initgmm=initgmm, inithmm=inithmm)
             results.append(res)
             sub_infos.append(sub_info)
             lls.append(float(res.ll))
@@ -396,8 +447,37 @@ def learn(key: jax.Array, batch: SeqBatch, k, config: VBConfig = VBConfig(),
             info["learned_hyps"] = sub_infos[best]["learned_hyps"]
         return results[best], info
 
-    states = fit_single_k(key, batch, int(k), config, hyps)
+    init_post = None
+    if config.initmode == "initgmm" or initgmm is not None:
+        if initgmm is None:
+            raise ValueError("initmode='initgmm' needs the initgmm arg")
+        gw, gm, gc = (initgmm.weight, initgmm.mean, initgmm.cov) \
+            if hasattr(initgmm, "weight") else initgmm
+        hyps_i = hyps if hyps is not None else VBHyps.from_config(
+            config, batch.x.shape[-1], batch.x.dtype)
+        init_post = init_from_gmm(jnp.asarray(gw), jnp.asarray(gm),
+                                  jnp.asarray(gc),
+                                  batch.total.astype(batch.x.dtype),
+                                  hyps_i, config.covar_type)
+    elif config.initmode == "inithmm" or inithmm is not None:
+        if inithmm is None:
+            raise ValueError("initmode='inithmm' needs the inithmm arg")
+        # use the given variational posterior directly
+        # (`vbhmm_init.m:154-161`)
+        init_post = inithmm
+
+    states = fit_single_k(key, batch, int(k), config, hyps,
+                          init_post=init_post)
     info = {"model_best_k": int(k), "vbopt": config, "version": _version()}
+    if config.keep_suboptimal:
+        # keep every uniqueLL restart solution in the output, like the
+        # reference's keep_suboptimal_hmms (`vbhmm_learn.m:417,600`)
+        from .. import hyp as hypmod
+        import numpy as np
+        uniq_all = hypmod.unique_ll(np.asarray(states.ll), config.min_diff)
+        info["suboptimal"] = [
+            finalize(batch, jax.tree.map(lambda a, i=int(i): a[i], states))
+            for i in uniq_all]
     if config.learn_hyps:
         # dedup restart solutions by LL and hyp-optimize each unique one
         # (`vbhmm_learn.m:484-552`) in ONE vmapped L-BFGS program, then

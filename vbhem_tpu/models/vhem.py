@@ -107,6 +107,10 @@ def m_step(base: H3M, pair: PairStats, z: jnp.ndarray,
     cov_new = sym(m2_sum / w_safe[..., None, None]
                   - mean_new[..., :, None] * mean_new[..., None, :])
     cov_new = cov_new + config.reg_cov * jnp.eye(d, dtype=dtype)
+    if config.covar_type == "diag":
+        # `hem_mstep_component.m` diag case: ML covariance is the
+        # diagonal of the weighted second moment minus mean^2
+        cov_new = cov_new * jnp.eye(d, dtype=dtype)
 
     # state virtual counts (`hem_mstep_component.m:138`)
     emit_counts = jnp.sum(a_u, axis=-2) + prior_u

@@ -98,6 +98,79 @@ def fit_gmm(key: jax.Array, x: jnp.ndarray, k: int,
     return g
 
 
+def fit_gmm_split(x: jnp.ndarray, k: int,
+                  weights: jnp.ndarray | None = None,
+                  max_iter: int = 100, tol: float = 1e-5,
+                  reg: float = 1e-6, em_iters_per_split: int = 15) -> GMM:
+    """GMM fit by LBG-style component splitting — the 'split' initmode of
+    `vbhmm_init.m:104-111` (the reference delegates to the emhmm
+    `gmm_learn(..., initmode='split')`, an external dependency; this is
+    the standard algorithm it names).
+
+    Start from the single weighted-ML Gaussian; repeat K-1 times:
+    split the component with the largest mass x spread
+    (weight * trace(cov)) along its principal eigenvector by
+    +-0.5*sqrt(lambda_max), halve its weight, run a few masked EM
+    iterations; finish with EM to tolerance.  Deterministic (no PRNG),
+    which is the point of 'split' vs 'random' initialization.
+    """
+    m, d = x.shape
+    dtype = x.dtype
+    w_pt = jnp.ones((m,), dtype) if weights is None else weights.astype(dtype)
+    w_sum = jnp.sum(w_pt)
+
+    xm = jnp.sum(w_pt[:, None] * x, 0) / w_sum
+    xc = x - xm
+    data_cov = (xc.T * w_pt) @ xc / w_sum
+    scale = jnp.trace(data_cov) / d
+    ridge = (reg * scale + 1e-30) * jnp.eye(d, dtype=dtype)
+
+    # padded-to-K component bank; ``active`` masks live components
+    mean_b = jnp.zeros((k, d), dtype).at[0].set(xm)
+    cov_b = jnp.broadcast_to(data_cov + ridge, (k, d, d))
+    weight_b = jnp.zeros((k,), dtype).at[0].set(1.0)
+
+    def masked_em(g: GMM, active, n_iters):
+        def one(_, g):
+            lw = jnp.where(active, jnp.log(g.weight + 1e-300), -jnp.inf)
+            lp = _log_gauss(x, g.mean, g.cov) + lw[None]
+            norm = logsumexp(lp, axis=-1)
+            resp = jnp.where(active[None],
+                             jnp.exp(lp - norm[:, None]), 0.0) \
+                * w_pt[:, None]
+            nk = jnp.sum(resp, 0) + 1e-30
+            mean = (resp.T @ x) / nk[:, None]
+            m2 = jnp.einsum("mk,md,me->kde", resp, x, x) / nk[:, None, None]
+            cov = sym(m2 - mean[:, :, None] * mean[:, None, :]) + ridge
+            weight = jnp.where(active, nk / jnp.sum(nk), 0.0)
+            # keep inactive slots inert (identity-scale cov, zero weight)
+            mean = jnp.where(active[:, None], mean, g.mean)
+            cov = jnp.where(active[:, None, None], cov, g.cov)
+            return GMM(weight=weight, mean=mean, cov=cov)
+
+        return jax.lax.fori_loop(0, n_iters, one, g)
+
+    g = GMM(weight=weight_b, mean=mean_b, cov=cov_b)
+    for n_active in range(1, k):
+        active = jnp.arange(k) < n_active
+        # split the live component with the largest weight * trace(cov)
+        spread = jnp.where(active,
+                           g.weight * jnp.trace(g.cov, axis1=-2, axis2=-1),
+                           -jnp.inf)
+        j = jnp.argmax(spread)
+        evals, evecs = jnp.linalg.eigh(g.cov[j])
+        delta = 0.5 * jnp.sqrt(jnp.maximum(evals[-1], 1e-30)) * evecs[:, -1]
+        g = GMM(
+            weight=g.weight.at[j].set(g.weight[j] / 2)
+                           .at[n_active].set(g.weight[j] / 2),
+            mean=g.mean.at[j].set(g.mean[j] - delta)
+                       .at[n_active].set(g.mean[j] + delta),
+            cov=g.cov.at[n_active].set(g.cov[j]))
+        g = masked_em(g, jnp.arange(k) < (n_active + 1),
+                      em_iters_per_split)
+    return masked_em(g, jnp.ones((k,), bool), max_iter)
+
+
 def mix_hier_em(key: jax.Array, mean: jnp.ndarray, cov: jnp.ndarray,
                 prior: jnp.ndarray, t: int, nv: float = 100.0,
                 max_iter: int = 30, tol: float = 1e-6):

@@ -74,6 +74,53 @@ def sharded_em_step(mesh: Mesh, base: H3M, posts: H3MPosterior,
     return jax.jit(fn)(base, posts)
 
 
+def sharded_vbhem_em(mesh: Mesh, base: H3M, posts: H3MPosterior,
+                     hyps: vbhem.VBHEMHyps, nv: int, tau: int,
+                     max_iter: int = 200, min_diff: float = 1e-5,
+                     covar_type: str = "full"):
+    """The FULL VBHEM EM loop (``lax.while_loop`` to convergence) under
+    shard_map: trials sharded over the 'trial' axis, the Kb base bank
+    sharded over 'base'.  Per-iteration sufficient statistics and the
+    ELBO reduce with psum over 'base' (ICI on hardware); the posterior
+    stays replicated so the convergence predicate is uniform across
+    devices.  ``posts`` carries a leading trials axis (divisible by the
+    'trial' mesh axis).
+
+    This is the pod-scale training loop of BASELINE.json's north star
+    ("10k+ input HMMs ... sharded across multi-host TPU slice with
+    all-reduced sufficient stats") — the reference has no analog; its
+    base axis is serial inside one MEX call (`vbhem_h3m_c_step_fc.m:175`).
+
+    Returns the vmapped :class:`..models.vbhem.VBHEMState` with a
+    leading trials axis (hat_Z and ll_elbo laid out [trial, base-shard]).
+    """
+    kb_total = base.num_hmms
+
+    def local_em(base_shard: H3M, post0: H3MPosterior):
+        return vbhem.vbhem_em(base_shard, post0, hyps, nv=nv, tau=tau,
+                              max_iter=max_iter, min_diff=min_diff,
+                              kb_total=kb_total, axis_name="base",
+                              covar_type=covar_type)
+
+    def run(base_shard: H3M, posts_shard: H3MPosterior):
+        return jax.vmap(local_em, in_axes=(None, 0))(base_shard,
+                                                     posts_shard)
+
+    base_spec = jax.tree.map(lambda _: P("base"), base)
+    posts_spec = jax.tree.map(lambda _: P("trial"), posts)
+    out_spec = vbhem.VBHEMState(
+        post=jax.tree.map(lambda _: P("trial"), posts),
+        ll=P("trial"), last_ll=P("trial"), it=P("trial"),
+        hat_z=P("trial", "base"), ll_elbo=P("trial", "base"),
+        stats=vbhem.ClusterStats(
+            nj=P("trial"), nj_rho1=P("trial"), nj_rho2rho=P("trial"),
+            nj_rho=P("trial"), y_bar=P("trial"), s_plus_c=P("trial")),
+        done=P("trial"))
+    fn = shard_map(run, mesh=mesh, in_specs=(base_spec, posts_spec),
+                   out_specs=out_spec)
+    return jax.jit(fn)(base, posts)
+
+
 def replicate_to_mesh(mesh: Mesh, tree):
     """Place a pytree fully replicated on the mesh."""
     sharding = NamedSharding(mesh, P())
@@ -105,7 +152,8 @@ def sharded_fit_trials(mesh: Mesh, base: H3M, kr: int, sr: int,
         post0 = init_fn(trial_key, base, kr, sr, hyps, config.nv)
         return vbhem.vbhem_em(base, post0, hyps, nv=config.nv,
                               tau=config.tau, max_iter=config.max_iter,
-                              min_diff=config.min_diff)
+                              min_diff=config.min_diff,
+                              covar_type=config.covar_type)
 
     keys = jax.random.split(key, config.trials)
     key_sharding = NamedSharding(mesh, P("trial"))
@@ -151,7 +199,8 @@ def sharded_grid_sweep(mesh: Mesh, base: H3M, ks, ss, config,
                                      tau=config.tau, cmask=cmask,
                                      smask=smask,
                                      max_iter=config.max_iter,
-                                     min_diff=config.min_diff)
+                                     min_diff=config.min_diff,
+                                     covar_type=config.covar_type)
 
     keys = jax.random.split(key, (len(cells), config.trials))
     key_sharding = NamedSharding(mesh, P(None, "trial"))
