@@ -10,6 +10,7 @@ Example (small smoke run):
       --seqs 10 --kmax 3 --smax 3 --out /tmp/syn --cpu
 """
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -53,11 +54,18 @@ def main():
                     help="comma list of repeat indices (subset of a "
                          "shared outdir for multi-process runs)")
     ap.add_argument("--methods", default="vbhem,vhem,ccfd,ppk")
-    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (default keeps the "
+                         "platform the image pins, i.e. the TPU tunnel)")
+    ap.add_argument("--dtype", default="f64", choices=["f32", "f64"],
+                    help="f64 (CPU, MATLAB-grade parity) or f32 (TPU)")
+    ap.add_argument("--hyp-steps", type=int, default=25,
+                    help="L-BFGS step cap for the batched hyp optimizers")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
 
     from vbhem_tpu.config import HEMConfig
     from vbhem_tpu.experiments import runner, synthetic
@@ -68,10 +76,15 @@ def main():
         args.out, n_repeats=args.repeats, repeat_ids=repeat_ids,
         n_per_cluster=args.subjects, n_seqs=args.seqs, t=args.t,
         k_grid=range(1, args.kmax + 1), s_grid=range(1, args.smax + 1),
-        vbhem_config=synthetic.default_vbhem_config(trials=args.trials),
+        vb_config=dataclasses.replace(
+            synthetic.default_vb_config(), hyp_max_steps=args.hyp_steps),
+        vbhem_config=dataclasses.replace(
+            synthetic.default_vbhem_config(trials=args.trials),
+            hyp_max_steps=args.hyp_steps),
         # exprmt1_demo.m:115-118: hemopt.tau = T, Nv = 100, initmode auto
         hem_config=HEMConfig(trials=args.hem_trials, nv=100, tau=args.t),
-        methods=tuple(args.methods.split(",")))
+        methods=tuple(args.methods.split(",")),
+        dtype=args.dtype)
     print(json.dumps(summary, indent=2))
 
 

@@ -265,3 +265,61 @@ def test_skl_batched_matches_loop(bank):
     d_loop = ccfd._skl_distance_matrix_loop(key, sub, data)
     d_bat = ccfd.skl_distance_matrix(key, sub, data)
     np.testing.assert_allclose(d_bat, d_loop, rtol=1e-8, atol=1e-10)
+
+
+def test_dic_synthetic_path(bank):
+    """The issyn variant (`myDIC.m:98-154`) uses inv(expected cov) as
+    the Sigma plug-in; it must still prefer the true K and differ from
+    the vb path only through the Sigma term."""
+    hmms, labels = bank
+    base = vbhem.h3m_from_hmms(hmms)
+    cfg = VBHEMConfig(alpha0=1e6, m0=(1.5, 1.5), w0=1.0, trials=6,
+                      nv=100, tau=10, initmode="baseem", learn_hyps=False)
+    dics = {}
+    for k in [1, 2]:
+        st = vbhem.select_best_trial(
+            vbhem.fit_single_ks(jax.random.key(4), base, k, 2, cfg))
+        res = vbhem.finalize(st)
+        pd_vb, d_vb = dic.dic(base, res, tau=cfg.tau, lambda0=cfg.lambda0)
+        pd_sy, d_sy = dic.dic(base, res, tau=cfg.tau, lambda0=cfg.lambda0,
+                              synthetic=True)
+        assert np.isfinite(d_sy) and d_sy != d_vb
+        dics[k] = d_sy
+    assert dics[2] < dics[1], dics
+
+
+def test_vhem_kr_eq_kb_identity_shortcut(bank):
+    """`hem_h3m_c.m:19-25`: K == Kb returns the inputs unchanged with
+    identity assignments and LogL = 0."""
+    hmms, labels = bank
+    base = vbhem.h3m_from_hmms(hmms)
+    cfg = HEMConfig(trials=2, nv=10, tau=5)
+    res = vhem.cluster(jax.random.key(0), base, len(hmms), 2, cfg)
+    assert float(res.ll) == 0.0
+    np.testing.assert_array_equal(np.asarray(res.label),
+                                  np.arange(len(hmms)))
+    np.testing.assert_allclose(np.asarray(res.h3m.hmm.mean),
+                               np.asarray(base.hmm.mean))
+    np.testing.assert_array_equal(np.asarray(res.z), np.eye(len(hmms)))
+
+
+def test_vhem_manova_moments(bank):
+    """compute_stats returns the Z-weighted emission moments
+    (`hem_mstep_component.m:115-116,169-174`): for the fitted model,
+    emit_mu2 must be PSD-ish per state and consistent with the moment
+    identity mu2 >= mu mu^T in the Loewner sense up to noise."""
+    hmms, labels = bank
+    base = vbhem.h3m_from_hmms(hmms)
+    cfg = HEMConfig(trials=6, nv=100, tau=10)
+    res = vhem.cluster(jax.random.key(0), base, 2, 2, cfg)
+    stats = vhem.compute_stats(res, base, tau=cfg.tau, smooth=cfg.smooth)
+    mu2 = stats["emit_mu2"]                    # [Kr, Sr, D, D]
+    mu = stats["emit_mu"]
+    assert mu2.shape == (2, 2, 2, 2)
+    # second moment of base means around the learned centre: the
+    # "covariance of the assigned base means" must be PSD
+    cov_means = mu2 - mu[..., :, None] * mu[..., None, :]
+    evs = np.linalg.eigvalsh(cov_means.reshape(-1, 2, 2))
+    assert evs.min() > -1e-6, evs.min()
+    # weights normalized
+    np.testing.assert_allclose(stats["weights"].sum(), 1.0, rtol=1e-9)

@@ -149,3 +149,36 @@ def test_phase_timer():
         pass
     assert pt.counts["a"] == 2 and pt.totals["a"] >= 0.02
     assert "a" in pt.summary() and "b" in pt.summary()
+
+
+def test_grouped_learn_front_end_selects_k(two_dyn_batch):
+    """End-to-end grouped learn: restarts + model selection over K
+    (`vbhmm_learn` flowing usegroups through everything) must select
+    the true K=2 and recover each group's dynamics."""
+    batch, group_map = two_dyn_batch
+    cfg = VBConfig(mu0=(1.5, 1.5), w0=1.0, numtrials=4)
+    res, info = vbhmm_groups.learn_grouped(
+        jax.random.key(5), batch, [1, 2, 3], group_map, 2, cfg)
+    assert info["model_best_k"] == 2, info["model_ll"]
+    assert len(res.group_models) == 2
+    # standardized shared emissions: state 0 = higher-count state; each
+    # group's transition matrix matches its GT up to the shared order
+    m0 = np.asarray(res.group_models[0].trans)
+    m1 = np.asarray(res.group_models[1].trans)
+    # group 0 is persistent (diag-dominant), group 1 is alternating
+    assert m0[0, 0] > 0.6 and m0[1, 1] > 0.6, m0
+    assert m1[0, 1] > 0.6 and m1[1, 0] > 0.6, m1
+
+
+def test_grouped_learn_hyps(two_dyn_batch):
+    """Grouped hyp learning improves (or matches) the grouped ELBO."""
+    batch, group_map = two_dyn_batch
+    cfg0 = VBConfig(mu0=(1.5, 1.5), w0=1.0, numtrials=2)
+    res0, _ = vbhmm_groups.learn_grouped(
+        jax.random.key(6), batch, 2, group_map, 2, cfg0)
+    cfg1 = VBConfig(mu0=(1.5, 1.5), w0=1.0, numtrials=2,
+                    learn_hyps=True, hyp_max_steps=15)
+    res1, info1 = vbhmm_groups.learn_grouped(
+        jax.random.key(6), batch, 2, group_map, 2, cfg1)
+    assert "learned_hyps" in info1
+    assert float(res1.ll) >= float(res0.ll) - 1e-6

@@ -30,7 +30,7 @@ from . import synthetic as syn
 
 GT_K, GT_S = 2, 2
 
-STAGES = ("data", "vbem", "vbhem", "vhem", "ccfd", "ppk")
+STAGES = ("data", "vbem", "vbhem", "vhem", "ccfd", "ppk", "dist")
 
 
 def _ckpt_path(outdir: str, repeat: int, stage: str) -> str:
@@ -60,7 +60,7 @@ def run_repeat(repeat: int, outdir: str,
                vbhem_config: Optional[VBHEMConfig] = None,
                hem_config: Optional[HEMConfig] = None,
                methods=("vbhem", "vhem", "ccfd", "ppk"),
-               verbose: bool = True) -> Dict:
+               verbose: bool = True, dtype: str = "f64") -> Dict:
     """One repeat of the benchmark (`exprmt1_demo.m` outer iteration,
     seeded `rng(it)`-style by folding the repeat index)."""
     key = jax.random.key(repeat)
@@ -78,6 +78,15 @@ def run_repeat(repeat: int, outdir: str,
                                 n_per_cluster=n_per_cluster,
                                 n_seqs=n_seqs, t=t)
         _save(outdir, repeat, "data", ds)
+    import jax.numpy as jnp
+    want = jnp.float32 if dtype == "f32" else jnp.float64
+    if ds.batches[0].x.dtype != want:
+        # cast checkpointed data to the requested compute precision
+        # (f32 for TPU runs; datasets are generated/stored in f64)
+        ds = syn.SyntheticDataset(
+            batches=[type(b)(x=jnp.asarray(np.asarray(b.x), want),
+                             lengths=b.lengths) for b in ds.batches],
+            labels=ds.labels)
     labels = ds.labels
 
     # ---- per-subject VBEM, one bank per S for PPK (exprmt1_demo.m:47) ----
@@ -176,7 +185,27 @@ def run_repeat(repeat: int, outdir: str,
         except Exception as e:  # noqa: BLE001 — stage isolation
             log(f"ppk FAILED: {e!r}")
             timings["ppk_error"] = repr(e)
-    return {"scores": scores, "timings": timings}
+
+    # ---- Dunn index per method from SKLD distances between the subject
+    # HMMs (`evaluate_vbhem_jounarl.m:107-113`) ----
+    dunn = {}
+    try:
+        from ..models import ccfd as ccfd_mod
+        from ..utils.metrics import dunn_index
+        dmat = _load(outdir, repeat, "dist")
+        if dmat is None:
+            hmms = [r.model for r in results]
+            dmat = ccfd_mod.skl_distance_matrix(
+                jax.random.fold_in(key, 5), hmms, data=ds.batches)
+            _save(outdir, repeat, "dist", dmat)
+        for m, sc in scores.items():
+            lab = getattr(sc, "labels", None)
+            if lab is not None and len(np.unique(np.asarray(lab))) > 1:
+                dunn[m] = float(dunn_index(dmat, lab))
+    except Exception as e:  # noqa: BLE001 — stage isolation
+        log(f"dunn FAILED: {e!r}")
+        timings["dunn_error"] = repr(e)
+    return {"scores": scores, "timings": timings, "dunn": dunn}
 
 
 def aggregate(per_repeat: List[Dict]) -> Dict:
@@ -199,6 +228,10 @@ def aggregate(per_repeat: List[Dict]) -> Dict:
             "p_s_under": float(np.mean(svals < GT_S)),
             "n_repeats": len(ss),
         }
+        dunns = [r["dunn"][m] for r in per_repeat
+                 if m in r.get("dunn", {})]
+        if dunns:
+            summary[m]["dunn_mean"] = float(np.mean(dunns))
     return summary
 
 

@@ -104,6 +104,9 @@ class RecoveryScore(NamedTuple):
     purity: float
     best_k: int
     best_s: int
+    # hard labels of the selected model (for the Dunn index,
+    # `evaluate_vbhem_jounarl.m:107-113`); None in old checkpoints
+    labels: Optional[object] = None
 
 
 def run_vbhem(key, results, labels, k_grid=range(1, 7), s_grid=range(1, 6),
@@ -130,7 +133,8 @@ def run_vbhem(key, results, labels, k_grid=range(1, 7), s_grid=range(1, 6),
     return res, info, RecoveryScore(rand_index=ri,
                                     purity=purity(lab, labels),
                                     best_k=info["model_best_k"],
-                                    best_s=info["model_best_s"])
+                                    best_s=info["model_best_s"],
+                                    labels=lab)
 
 
 def run_vhem(key, results, labels, k: int = 2, s: int = 2,
@@ -142,7 +146,7 @@ def run_vhem(key, results, labels, k: int = 2, s: int = 2,
     lab = np.asarray(res.label)
     ri, _, _, _ = rand_index(lab, labels)
     return res, RecoveryScore(rand_index=ri, purity=purity(lab, labels),
-                              best_k=k, best_s=s)
+                              best_k=k, best_s=s, labels=lab)
 
 
 # ---------------------------------------------------------------------------
@@ -202,7 +206,8 @@ def run_vhem_grid(key, results, labels, k_grid=range(1, 7),
         lab = np.asarray(res.label)
         out[crit + "_score"] = RecoveryScore(
             rand_index=rand_index(lab, labels)[0],
-            purity=purity(lab, labels), best_k=ks[ki], best_s=ss[si])
+            purity=purity(lab, labels), best_k=ks[ki], best_s=ss[si],
+            labels=lab)
     return out
 
 
@@ -223,7 +228,7 @@ def run_vbhem_dic(info: Dict, base, tau: int, labels) -> Dict:
     lab = np.asarray(res.label)
     return {"dic": dics, "score": RecoveryScore(
         rand_index=rand_index(lab, labels)[0], purity=purity(lab, labels),
-        best_k=ks[ki], best_s=ss[si])}
+        best_k=ks[ki], best_s=ss[si], labels=lab)}
 
 
 def run_ccfd(key, results, labels, ds: Optional[SyntheticDataset] = None,
@@ -239,7 +244,7 @@ def run_ccfd(key, results, labels, ds: Optional[SyntheticDataset] = None,
     s = np.asarray(results[0].model.mean).shape[0]
     return {"result": res, "score": RecoveryScore(
         rand_index=rand_index(lab, labels)[0], purity=purity(lab, labels),
-        best_k=int(lab.max()) + 1, best_s=s)}
+        best_k=int(lab.max()) + 1, best_s=s, labels=lab)}
 
 
 def run_ppk_grid(key, banks_by_s: Dict[int, list], ds: SyntheticDataset,
@@ -312,5 +317,6 @@ def run_ppk_grid(key, banks_by_s: Dict[int, list], ds: SyntheticDataset,
         out[crit] = grid
         out[crit + "_score"] = RecoveryScore(
             rand_index=rand_index(lab, labels)[0],
-            purity=purity(lab, labels), best_k=ks[ki], best_s=ss[si])
+            purity=purity(lab, labels), best_k=ks[ki], best_s=ss[si],
+            labels=lab)
     return out

@@ -179,3 +179,137 @@ def split_groups(post: GroupedPosterior):
     return [HMMPosterior(alpha=post.alpha[g], epsilon=post.epsilon[g],
                          niw=post.niw)
             for g in range(post.num_groups)]
+
+
+# ---------------------------------------------------------------------------
+# Front-end: restarts + model selection + hyp learning for grouped data
+# (the reference flows usegroups through the full vbhmm_learn path,
+#  `vbhmm_learn.m:232-654` + `vbhmm_em.m:62-91`)
+# ---------------------------------------------------------------------------
+
+class GroupedResult(NamedTuple):
+    """Learned grouped model: shared emissions, per-group dynamics."""
+    post: GroupedPosterior
+    ll: jnp.ndarray
+    counts: jnp.ndarray          # [K] pooled state counts
+    group_posts: list            # per-group HMMPosterior (vbhmm_group2ind)
+    group_models: list           # per-group point-estimate HMM
+
+
+def permute(post: GroupedPosterior, perm: jnp.ndarray) -> GroupedPosterior:
+    """Apply one state permutation to every group + the shared emissions
+    (`vbhmm_permute.m` applied group-wise, `vbhmm_standardize.m:31-38`)."""
+    return GroupedPosterior(
+        alpha=post.alpha[:, perm],
+        epsilon=post.epsilon[:, perm][:, :, perm],
+        niw=NIW(beta=post.niw.beta[perm], v=post.niw.v[perm],
+                m=post.niw.m[perm], w=post.niw.w[perm]))
+
+
+def _finalize(st: GroupedEMState) -> GroupedResult:
+    from ..containers import HMM
+    posts = split_groups(st.post)
+    models = [p.to_point() for p in posts]
+    return GroupedResult(post=st.post, ll=st.ll, counts=st.stats.shared.nk,
+                         group_posts=posts, group_models=models)
+
+
+def learn_grouped(key, batch: SeqBatch, k, group_map, n_groups: int,
+                  config=None, hyps: VBHyps = None):
+    """Grouped-VBEM front-end: random restarts, model selection over K
+    with the gammaln(K+1) correction, optional empirical-Bayes hyp
+    learning, and emission-count standardization — the full
+    `vbhmm_learn` pipeline for `usegroups` data (`vbhmm_em.m:62-91`).
+
+    Returns (GroupedResult, info dict).
+    """
+    import numpy as np
+    from ..config import VBConfig
+    from .vbhmm import random_init
+    from .. import hyp as hypmod
+
+    config = config or VBConfig()
+    group_map = jnp.asarray(group_map)
+
+    if isinstance(k, (list, tuple, range)):
+        ks = list(k)
+        results, infos, lls = [], [], []
+        for ki, kk in enumerate(ks):
+            res, inf = learn_grouped(jax.random.fold_in(key, ki), batch,
+                                     int(kk), group_map, n_groups, config,
+                                     hyps)
+            results.append(res)
+            infos.append(inf)
+            lls.append(float(res.ll))
+        corrected = np.asarray(lls) + np.asarray(
+            [float(gammaln(kk + 1)) for kk in ks])
+        best = int(np.argmax(corrected))
+        info = {"model_ll": corrected, "model_k": ks,
+                "model_best_k": ks[best], "model_all": results,
+                "model_infos": infos}
+        return results[best], info
+
+    kk = int(k)
+    dtype = batch.x.dtype
+    hyps0 = hyps if hyps is not None else VBHyps.from_config(
+        config, batch.x.shape[-1], dtype)
+    numtrials = 1 if kk == 1 else config.numtrials
+
+    def one_trial(tk):
+        p0 = random_init(tk, batch, kk, hyps0, config.covar_type)
+        return vbem_em(batch, from_ungrouped(p0, n_groups), hyps0,
+                       group_map, max_iter=config.max_iter,
+                       min_diff=config.min_diff)
+
+    states = jax.vmap(one_trial)(jax.random.split(key, numtrials))
+    info = {"model_best_k": kk, "vbopt": config}
+
+    if config.learn_hyps:
+        dim = batch.x.shape[-1]
+        specs = hypmod.vb_specs(dim, config.bounds, config.learn_hyps_keys)
+        uniq = hypmod.unique_ll(np.asarray(states.ll), config.min_diff)
+        if config.max_hyp_solutions is not None:
+            uniq = uniq[:config.max_hyp_solutions]
+        if len(uniq) == 0:
+            uniq = np.asarray([int(np.argmax(np.asarray(states.ll)))])
+        uniq = hypmod.pad_lanes(uniq, bucket=4)
+        idx = jnp.asarray(uniq)
+        init_posts = jax.tree.map(lambda a: a[idx], states.post)
+
+        def neg_elbo(h, init_post):
+            st = vbem_em(batch, init_post, jax.lax.stop_gradient(h),
+                         group_map, max_iter=config.max_iter,
+                         min_diff=config.min_diff)
+            post = jax.lax.stop_gradient(st.post)
+            fb = e_step(batch, post, group_map)
+            stats = grouped_stats(batch, fb, group_map, n_groups)
+            return -elbo(batch, post, fb, stats, h)
+
+        hyps_b, _, _ = hypmod.optimize_hyps_batched(
+            neg_elbo, hyps0, specs, (init_posts,),
+            max_steps=config.hyp_max_steps)
+
+        def rerun(h, p):
+            return vbem_em(batch, p, h, group_map,
+                           max_iter=config.max_iter,
+                           min_diff=config.min_diff)
+
+        sts = jax.jit(jax.vmap(rerun))(hyps_b, init_posts)
+        best = int(jnp.argmax(sts.ll))
+        st = jax.tree.map(lambda a: a[best], sts)
+        info["learned_hyps"] = jax.tree.map(lambda a: a[best], hyps_b)
+    else:
+        best = int(jnp.argmax(states.ll))
+        st = jax.tree.map(lambda a: a[best], states)
+
+    if config.sortclusters:
+        # shared emissions -> one permutation for every group, by pooled
+        # emission counts (mode 'e'; the reference recurses the chosen
+        # mode into each group HMM, `vbhmm_standardize.m:31-38`)
+        perm = jnp.argsort(-st.stats.shared.nk)
+        new_post = permute(st.post, perm)
+        fb = e_step(batch, new_post, group_map)
+        st = st._replace(post=new_post,
+                         stats=grouped_stats(batch, fb, group_map,
+                                             n_groups), gamma=fb.gamma)
+    return _finalize(st), info

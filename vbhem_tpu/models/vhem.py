@@ -460,9 +460,9 @@ def select_best_trial(states: VHEMState) -> VHEMState:
 def cluster(key: jax.Array, base: H3M, kr: int, sr: int,
             config: HEMConfig = HEMConfig(),
             initmode: Optional[str] = None) -> VHEMResult:
-    """VHEM clustering for one (K, S) (`vhem_cluster.m`).  Identity
-    shortcut when Kr == Kb is NOT applied here (the reference returns
-    the inputs unchanged in that case, `hem_h3m_c.m:19-25`).
+    """VHEM clustering for one (K, S) (`vhem_cluster.m`).  When
+    Kr == Kb the inputs are returned unchanged with an identity
+    assignment and LogL = 0, exactly as `hem_h3m_c.m:19-25`.
 
     'auto' initmode tries {baseem, gmmNew, gmmNew2} and keeps the best
     solution by LL (`vhem_cluster.m:210-233`).
@@ -473,6 +473,13 @@ def cluster(key: jax.Array, base: H3M, kr: int, sr: int,
     that still failed is returned with ``given_up`` semantics
     (ll = -inf)."""
     import numpy as np
+    if kr == base.num_hmms:
+        # identity shortcut (`hem_h3m_c.m:19-25`)
+        eye = jnp.eye(kr, dtype=base.omega.dtype)
+        return VHEMResult(h3m=base, ll=jnp.zeros((), base.omega.dtype),
+                          z=eye, label=jnp.arange(kr),
+                          emit_counts=jnp.zeros_like(base.hmm.prior),
+                          ll_elbo=jnp.zeros((kr, kr), base.omega.dtype))
     mode = initmode or config.initmode
     modes = _AUTO_MODES if mode == "auto" else (mode,)
 
@@ -590,19 +597,38 @@ def cluster_split(key: jax.Array, base: H3M, kr: int, sr: int,
     return finalize(st)
 
 
-def compute_stats(res: VHEMResult, base: H3M):
+def compute_stats(res: VHEMResult, base: H3M, tau: int = 10,
+                  smooth: float = 1.0):
     """Per-state MANOVA statistics (`vhem_cluster.m:239-266` +
-    `hem_hmm_bwd_fwd.m:52-57` second moments): normalized emission
-    weights, effective ROI counts, and the Z-weighted emission moments
-    (mean + second moment) of the base data mapped to each reduced
-    state."""
+    `hem_hmm_bwd_fwd.m:52-57` / `g3m_stats.m:307-315` second moments):
+    normalized emission weights, effective ROI counts, AND the
+    Z-weighted emission moments — per reduced state, the assignment-
+    weighted mean (= the learned centre, `hem_mstep_component.m:173`)
+    and the weighted second moment of the base MEANS
+    (`new_Gmu2 / new_Gweight`, `hem_mstep_component.m:115-116,169-172`;
+    note mu2 uses mu mu^T of the base centres, NOT mu mu^T + cov)."""
     import numpy as np
     counts = np.asarray(res.emit_counts)                    # [Kr, Sr]
     tot_base_rois = int(np.asarray(base.state_mask).sum())
     weights = counts / counts.sum()
+
+    # Z-weighted moments: rerun the pair E-step at the final model to
+    # recover sum_t_nu (the reference collects these during the final
+    # M-step, hem_h3m_c_step.m:349-380)
+    pair = e_step(base, res.h3m, tau, smooth)
+    zw = res.z * base.omega[:, None]                        # [Kb, Kr]
+    mean_b = base.hmm.mean
+    mu2_b = mean_b[..., :, None] * mean_b[..., None, :]     # [Kb,Sb,D,D]
+    w_sum = jnp.einsum("ij,ijrb->jr", zw, pair.sum_t_nu)
+    mu2_sum = jnp.einsum("ij,ijrb,ibde->jrde", zw, pair.sum_t_nu, mu2_b)
+    eps = tiny(w_sum.dtype)
+    emit_mu2 = np.asarray(mu2_sum / jnp.maximum(w_sum, eps)[..., None, None])
+
     return {
         "tot_ind_rois": tot_base_rois,
         "emit_vcounts": counts,
         "weights": weights,
         "n_rois": tot_base_rois * weights,
+        "emit_mu": np.asarray(res.h3m.hmm.mean),            # [Kr, Sr, D]
+        "emit_mu2": emit_mu2,                               # [Kr,Sr,D,D]
     }
