@@ -29,7 +29,7 @@ from vbhem_tpu.containers import HMM, SeqBatch
 from vbhem_tpu.models import hmm_tools, vbhem, vbhmm
 from vbhem_tpu.models.hyp_heuristics import set_hyperparam
 from vbhem_tpu.utils import plots
-from vbhem_tpu.utils.io import read_fixations
+
 
 
 def synth_subjects(key, n_per_group=5, n_trials=12, t=12):
@@ -65,13 +65,18 @@ def main():
     ap.add_argument("--out", default="demo_out", help="output dir")
     ap.add_argument("--seed", type=int, default=100)
     ap.add_argument("--cpu", action="store_true", help="force CPU")
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny settings for smoke/integration tests")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.out, exist_ok=True)
 
     if args.xls:
-        subjects = read_fixations(args.xls)
+        # native one-pass C++ CSV loader when available, pandas
+        # otherwise (read_xls_fixations.m parity either way)
+        from vbhem_tpu.utils.native_io import read_fixations_auto
+        subjects = read_fixations_auto(args.xls)
         names = list(subjects)
         batches = [subjects[n] for n in names]
         labels = None
@@ -80,12 +85,14 @@ def main():
         names = [f"subj{i:02d}" for i in range(len(batches))]
 
     # per-subject VBEM, model selection over S (vbdemo_face.m:21-40)
-    cfg = VBConfig(numtrials=10, learn_hyps=True)
+    cfg = VBConfig(numtrials=3, learn_hyps=False, max_iter=30) \
+        if args.quick else VBConfig(numtrials=10, learn_hyps=True)
     cfg = set_hyperparam(cfg, batches, mode="d")
     results = []
     for i, b in enumerate(batches):
+        s_grid = [1, 2] if args.quick else [1, 2, 3]
         res, info = vbhmm.learn(jax.random.key(args.seed + i), b,
-                                [1, 2, 3], cfg)
+                                s_grid, cfg)
         print(f"{names[i]}: best S={info['model_best_k']} "
               f"LL={float(res.ll):.1f}")
         results.append(res)
@@ -95,11 +102,15 @@ def main():
     # VBHEM clustering over K (vbdemo_face.m:46-67)
     # alpha0=1e6 keeps weakly-evidenced clusters alive, as in the
     # paper's synthetic experiment (exprmt1_demo.m:72)
-    vb_cfg = VBHEMConfig(alpha0=1e6, m0=cfg.mu0, w0=cfg.w0, trials=10,
-                         nv=50, tau=10, initmode="auto", learn_hyps=False)
+    vb_cfg = VBHEMConfig(alpha0=1e6, m0=cfg.mu0, w0=cfg.w0,
+                         trials=3 if args.quick else 10,
+                         nv=50, tau=10,
+                         initmode="baseem" if args.quick else "auto",
+                         learn_hyps=False)
     base = vbhem.h3m_from_results(results)
+    k_grid = [1, 2] if args.quick else [1, 2, 3, 4, 5]
     res, info = vbhem.cluster(jax.random.key(args.seed + 1001), base,
-                              [1, 2, 3, 4, 5], 3, vb_cfg)
+                              k_grid, 2 if args.quick else 3, vb_cfg)
     res = vbhem.remove_empty_clusters(res)
     print("selected K =", info["model_best_k"],
           "| groups:", res.groups)

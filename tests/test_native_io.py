@@ -1,5 +1,6 @@
 """Native C++ CSV loader vs the pandas reader (dual-path parity, the
 discipline the reference used for MEX vs MATLAB)."""
+import os
 import numpy as np
 import pytest
 
@@ -39,3 +40,36 @@ def test_auto_reader_roundtrip(csv_file):
     out = native_io.read_fixations_auto(csv_file)
     assert len(out) == 2
     assert out["s1"].x.shape[-1] == 3  # FixD -> 3rd dim
+
+
+def test_demo_xls_integration(tmp_path):
+    """End-to-end --xls path of the face demo: generated fixation CSV ->
+    native loader -> per-subject VBEM -> VBHEM clustering (the
+    `vbdemo_face.m` pipeline on `read_xls_fixations.m`-format input)."""
+    import subprocess
+    import sys
+    import numpy as np
+    rng = np.random.default_rng(0)
+    rows = ["SubjectID,TrialID,FixX,FixY"]
+    for si in range(4):
+        c = np.array([180.0, 150.0]) if si < 2 else np.array([300.0, 230.0])
+        for tr in range(6):
+            for _ in range(8):
+                x, y = c + rng.normal(0, 25, 2)
+                rows.append(f"s{si:02d},{tr + 1},{x:.1f},{y:.1f}")
+    csv = tmp_path / "fix.csv"
+    csv.write_text("\n".join(rows) + "\n")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "demo_out"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples",
+                                      "demo_fixations.py"),
+         "--xls", str(csv), "--out", str(out), "--cpu", "--quick"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "VBHEM_TPU_NO_COMPILE_CACHE": "1",
+             "MPLBACKEND": "Agg", "PYTHONPATH": repo})
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "selected K" in proc.stdout, proc.stdout
+    assert (out / "s00.png").exists() or list(out.glob("*.png")), \
+        proc.stdout
