@@ -98,11 +98,22 @@ def run_repeat(repeat: int, outdir: str,
         s_list = sorted(set([GT_S]) | set(s_grid)) if "ppk" in methods \
             else [GT_S]
         for s in s_list:
-            log(f"VBEM bank S={s}")
-            banks[s] = syn.learn_subject_hmms(
-                jax.random.fold_in(key, 100 + s), ds, s=s, config=vb_cfg)
+            # per-S sub-checkpoints so a killed worker resumes mid-stage
+            bank = _load(outdir, repeat, f"vbem_s{s}")
+            if bank is None:
+                log(f"VBEM bank S={s}")
+                bank = syn.learn_subject_hmms(
+                    jax.random.fold_in(key, 100 + s), ds, s=s,
+                    config=vb_cfg)
+                _save(outdir, repeat, f"vbem_s{s}", bank)
+            banks[s] = bank
         timings["vbem"] = time.time() - t0
         _save(outdir, repeat, "vbem", banks)
+        for s in s_list:   # sub-checkpoints subsumed by the stage pickle
+            try:
+                os.remove(_ckpt_path(outdir, repeat, f"vbem_s{s}"))
+            except OSError:
+                pass
     results = banks[GT_S]
 
     # ---- VBHEM over the (K,S) grid (exprmt1_demo.m:64-108) ----
