@@ -210,9 +210,13 @@ def lbfgs_box(fun, theta0: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
         v = fun(jnp.clip(theta, lo, hi))
         return jnp.where(jnp.isfinite(v), v, big)
 
+    # 10 backtracking probes: under vmap every lane executes the MAX
+    # probe count of any lane per L-BFGS step, and each probe is a full
+    # EM re-run — 20 probes doubled the worst-case cost of every step
+    # for negligible final-ELBO difference.
     opt = optax.lbfgs(
         linesearch=optax.scale_by_backtracking_linesearch(
-            max_backtracking_steps=20, store_grad=True))
+            max_backtracking_steps=10, store_grad=True))
     vag = optax.value_and_grad_from_state(safe_fun)
 
     def step(carry):
