@@ -255,3 +255,26 @@ def test_cluster_batched_learn_hyps(base, learned_bank):
     # hyp optimization can only improve the per-cell best ELBO
     assert float(res1.ll) >= float(res0.ll) - 1e-9, (float(res1.ll),
                                                      float(res0.ll))
+
+
+def test_cluster_batched_auto_initmode(base):
+    """'auto' on the single-program sweep concatenates the three
+    initmodes' trials; per cell its best LL must dominate every single
+    mode's best (union property, `vbhem_h3m_cluster.m:363-399`)."""
+    from vbhem_tpu.config import VBHEMConfig
+    cfg_auto = VBHEMConfig(alpha0=1e6, m0=(1.5, 1.5), w0=1.0, nv=10,
+                           tau=5, trials=4, initmode="auto",
+                           learn_hyps=False, max_iter=30)
+    res_a, info_a = vbhem.cluster_batched(jax.random.key(3), base,
+                                          [1, 2], [2], cfg_auto)
+    for mode in ("baseem", "gmmNew", "wtkmeans"):
+        cfg_m = VBHEMConfig(alpha0=1e6, m0=(1.5, 1.5), w0=1.0, nv=10,
+                            tau=5, trials=4, initmode=mode,
+                            learn_hyps=False, max_iter=30)
+        # same fold_in(key, mi) keying as the auto path uses per mode
+        mi = ("baseem", "gmmNew", "wtkmeans").index(mode)
+        res_m, info_m = vbhem.cluster_batched(
+            jax.random.fold_in(jax.random.key(3), mi), base,
+            [1, 2], [2], cfg_m)
+        assert (np.asarray(info_a["model_ll"])
+                >= np.asarray(info_m["model_ll"]) - 1e-9).all()

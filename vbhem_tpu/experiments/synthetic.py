@@ -118,15 +118,13 @@ def run_vbhem(key, results, labels, k_grid=range(1, 7), s_grid=range(1, 6),
     compile for the whole grid) when hyp learning is off and a single
     initmode is set; falls back to the per-cell path otherwise."""
     config = config or default_vbhem_config()
-    base = vbhem.h3m_from_results(results, use_post=config.use_post)
-    if config.initmode not in ("auto",):
-        # single-program padded sweep; with learn_hyps the grid-level
-        # vmapped L-BFGS runs on top (one lane per cell x solution)
-        res, info = vbhem.cluster_batched(key, base, list(k_grid),
-                                          list(s_grid), config)
-    else:
-        res, info = vbhem.cluster(key, base, list(k_grid), list(s_grid),
-                                  config)
+    base = vbhem.h3m_from_results(results, use_post=config.use_post,
+                                  covar_type=config.covar_type)
+    # single-program padded sweep; with learn_hyps the grid-level
+    # vmapped L-BFGS runs on top (one lane per cell x solution); 'auto'
+    # concatenates the three initmodes' trials
+    res, info = vbhem.cluster_batched(key, base, list(k_grid),
+                                      list(s_grid), config)
     res = vbhem.remove_empty_clusters(res)
     lab = np.asarray(res.label)
     ri, _, _, _ = rand_index(lab, labels)

@@ -1209,7 +1209,14 @@ def cluster_batched(key: jax.Array, base: H3M, k, s,
     Same selection rule and return contract as :func:`cluster`, one
     compile for the whole grid; with ``config.learn_hyps`` the
     per-unique-solution hyp optimization also runs as one vmapped
-    program over every (cell, solution) lane."""
+    program over every (cell, solution) lane.
+
+    'auto' initmode runs the sweep once per {baseem, gmmNew, wtkmeans}
+    and concatenates the restarts along the trials axis (the reference
+    keeps the best mode per cell, `vbhem_h3m_cluster.m:363-399`; taking
+    the max over the union of all modes' trials selects the same
+    winner — the only difference is that uniqueLL dedup then sees all
+    modes' solutions together rather than per mode)."""
     import numpy as np
     ks = list(k) if isinstance(k, (list, tuple, range)) else [int(k)]
     ss = list(s) if isinstance(s, (list, tuple, range)) else [int(s)]
@@ -1217,8 +1224,16 @@ def cluster_batched(key: jax.Array, base: H3M, k, s,
     hyps0 = hyps if hyps is not None else VBHEMHyps.from_config(
         config, dim, base.hmm.mean.dtype)
 
-    states, cells, cmasks, smasks = fit_grid_batched(key, base, ks, ss,
-                                                     config, hyps0)
+    modes = (["baseem", "gmmNew", "wtkmeans"]
+             if config.initmode == "auto" else [config.initmode])
+    per_mode = []
+    for mi, mode in enumerate(modes):
+        st_m, cells, cmasks, smasks = fit_grid_batched(
+            jax.random.fold_in(key, mi) if len(modes) > 1 else key,
+            base, ks, ss, config, hyps0, initmode=mode)
+        per_mode.append(st_m)
+    states = per_mode[0] if len(per_mode) == 1 else jax.tree.map(
+        lambda *a: jnp.concatenate(a, axis=1), *per_mode)
     if config.learn_hyps:
         sts, lane_cell, _ = optimize_hyps_grid_batched(
             base, states, cells, cmasks, smasks, config, hyps0)

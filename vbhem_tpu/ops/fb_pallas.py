@@ -258,4 +258,10 @@ def forward_backward_auto(log_pz1: jnp.ndarray, log_trans: jnp.ndarray,
                   and not os.environ.get("VBHEM_TPU_DISABLE_PALLAS"))
     if use_pallas:
         return _pallas_vmappable()(log_pz1, log_trans, log_rho, mask)
+    if jax.default_backend() == "tpu" and t_max >= 1024:
+        # long-sequence config: T exceeds the kernel's VMEM scratch
+        # budget — use the log-depth associative-scan FB instead of a
+        # T-sequential scan (SURVEY.md section 5 long-context item)
+        from .fb import forward_backward_assoc
+        return forward_backward_assoc(log_pz1, log_trans, log_rho, mask)
     return forward_backward(log_pz1, log_trans, log_rho, mask)
