@@ -278,3 +278,22 @@ def test_cluster_batched_auto_initmode(base):
             [1, 2], [2], cfg_m)
         assert (np.asarray(info_a["model_ll"])
                 >= np.asarray(info_m["model_ll"]) - 1e-9).all()
+
+
+def test_fit_grid_batched_trial_chunking(base):
+    """Chunked trials (lax.map over vmapped chunks — the HBM-bounded
+    path used on accelerators) must equal the fully vmapped sweep."""
+    from vbhem_tpu.config import VBHEMConfig
+    cfg = VBHEMConfig(alpha0=1e6, m0=(1.5, 1.5), w0=1.0, nv=10, tau=5,
+                      trials=4, initmode="baseem", learn_hyps=False,
+                      max_iter=20)
+    hyps = vbhem.VBHEMHyps.from_config(cfg, 2)
+    st_full, cells, _, _ = vbhem.fit_grid_batched(
+        jax.random.key(5), base, [1, 2], [2], cfg, hyps)
+    st_chunk, cells2, _, _ = vbhem.fit_grid_batched(
+        jax.random.key(5), base, [1, 2], [2], cfg, hyps, trial_chunk=2)
+    assert cells == cells2
+    np.testing.assert_allclose(np.asarray(st_chunk.ll),
+                               np.asarray(st_full.ll), rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(st_chunk.it),
+                                  np.asarray(st_full.it))

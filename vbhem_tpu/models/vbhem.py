@@ -1092,7 +1092,8 @@ def vbhem_em_masked(base: H3M, init_post: H3MPosterior, hyps: VBHEMHyps,
 
 def fit_grid_batched(key: jax.Array, base: H3M, ks, ss,
                      config: VBHEMConfig, hyps: VBHEMHyps,
-                     initmode: Optional[str] = None):
+                     initmode: Optional[str] = None,
+                     trial_chunk: Optional[int] = None):
     """The whole (K,S) x trials sweep as ONE compiled program.
 
     Every cell is padded to (max K, max S) with cluster/state masks and
@@ -1126,10 +1127,54 @@ def fit_grid_batched(key: jax.Array, base: H3M, ks, ss,
 
     n_cells = len(cells)
     keys = jax.random.split(key, (n_cells, config.trials))
-    run = jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None, None)),
-                           in_axes=(0, 0, 0)))
-    states = run(keys, cmasks, smasks)
+    if trial_chunk is None:
+        trial_chunk = default_trial_chunk(base, max(ks), max(ss),
+                                          config.tau, config.trials,
+                                          n_cells)
+    if trial_chunk and trial_chunk < config.trials:
+        # bound live memory: the XLA pair E-step stacks a
+        # [tau-1, Kb, K, S, Sb, S] theta tensor PER LANE, so the fully
+        # folded (cells x trials) program can exceed HBM at pod-padded
+        # shapes; lax.map(batch_size=...) runs vmapped chunks
+        # sequentially inside one compiled program.
+        def chunk_one(kc):
+            return jax.vmap(jax.vmap(one, in_axes=(0, None, None)),
+                            in_axes=(0, 0, 0))(kc, cmasks, smasks)
+
+        keys_c = keys.reshape(n_cells, -1, trial_chunk).swapaxes(0, 1)
+        states = jax.jit(lambda kk: jax.lax.map(chunk_one, kk))(keys_c)
+        # [n_chunks, n_cells, trial_chunk, ...] -> [n_cells, trials, ...]
+        states = jax.tree.map(
+            lambda a: a.swapaxes(0, 1).reshape(
+                (n_cells, config.trials) + a.shape[3:]), states)
+    else:
+        run = jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None, None)),
+                               in_axes=(0, 0, 0)))
+        states = run(keys, cmasks, smasks)
     return states, cells, cmasks, smasks
+
+
+def default_trial_chunk(base: H3M, kmax: int, smax: int, tau: int,
+                        trials: int, n_cells: int) -> Optional[int]:
+    """Pick a trials-axis chunk so the grid sweep's live lane memory
+    stays ~<2 GB on accelerators (the XLA pair E-step materializes a
+    [tau-1, Kb, K, S_b, S, S] theta stack per lane).  Returns None (no
+    chunking) on CPU or when everything fits."""
+    if jax.default_backend() not in ("tpu", "gpu"):
+        return None
+    sb = base.hmm.prior.shape[-1]
+    itemsize = jnp.dtype(base.hmm.mean.dtype).itemsize
+    per_lane = max(tau - 1, 1) * base.num_hmms * kmax * smax * sb * smax \
+        * itemsize
+    budget = 2 * 1024 ** 3
+    lanes = max(1, budget // max(per_lane, 1))
+    chunk = max(1, int(lanes) // max(n_cells, 1))
+    if chunk >= trials:
+        return None
+    # keep chunks dividing trials (pad-free reshape)
+    while trials % chunk:
+        chunk -= 1
+    return chunk
 
 
 def optimize_hyps_grid_batched(base: H3M, states: VBHEMState, cells,
