@@ -62,11 +62,12 @@ def main():
 
     t1 = timed(jax.jit(jax.vmap(unsharded)), posts)
 
-    # (b) base axis sharded over n_dev devices
+    # (b) base axis sharded over n_dev devices; build the jitted
+    # program ONCE so the timing measures execution, not re-tracing
     mesh = spmd.make_mesh(n_trial=1, n_base=n_dev)
-    t_n = timed(lambda p: spmd.sharded_vbhem_em(
-        mesh, base, p, hyps, cfg.nv, tau, max_iter=n_iters, min_diff=0.0),
-        posts)
+    sharded = spmd.make_sharded_vbhem_em(mesh, kb, posts, cfg.nv, tau,
+                                         max_iter=n_iters, min_diff=0.0)
+    t_n = timed(lambda p: sharded(base, p, hyps), posts)
 
     eff = t1 / t_n
     print(json.dumps({

@@ -77,10 +77,10 @@ def main():
         n_per_cluster=args.subjects, n_seqs=args.seqs, t=args.t,
         k_grid=range(1, args.kmax + 1), s_grid=range(1, args.smax + 1),
         vb_config=dataclasses.replace(
-            synthetic.default_vb_config(), hyp_max_steps=args.hyp_steps),
+            synthetic.default_vb_config(), hyp_max_steps=args.hyp_steps, verbose=2),
         vbhem_config=dataclasses.replace(
             synthetic.default_vbhem_config(trials=args.trials),
-            hyp_max_steps=args.hyp_steps),
+            hyp_max_steps=args.hyp_steps, verbose=2),
         # exprmt1_demo.m:115-118: hemopt.tau = T, Nv = 100, initmode auto
         hem_config=HEMConfig(trials=args.hem_trials, nv=100, tau=args.t),
         methods=tuple(args.methods.split(",")),

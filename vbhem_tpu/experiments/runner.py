@@ -211,8 +211,15 @@ def run_repeat(repeat: int, outdir: str,
             _save(outdir, repeat, "dist", dmat)
         for m, sc in scores.items():
             lab = getattr(sc, "labels", None)
-            if lab is not None and len(np.unique(np.asarray(lab))) > 1:
-                dunn[m] = float(dunn_index(dmat, lab))
+            if lab is None:
+                continue
+            lab = np.asarray(lab)
+            # undefined for one cluster or all-singletons (max intra
+            # diameter 0 -> inf, which is not valid strict JSON)
+            if 1 < len(np.unique(lab)) < len(lab):
+                d = float(dunn_index(dmat, lab))
+                if np.isfinite(d):
+                    dunn[m] = d
     except Exception as e:  # noqa: BLE001 — stage isolation
         log(f"dunn FAILED: {e!r}")
         timings["dunn_error"] = repr(e)
@@ -240,7 +247,8 @@ def aggregate(per_repeat: List[Dict]) -> Dict:
             "n_repeats": len(ss),
         }
         dunns = [r["dunn"][m] for r in per_repeat
-                 if m in r.get("dunn", {})]
+                 if m in r.get("dunn", {})
+                 and np.isfinite(r["dunn"][m])]
         if dunns:
             summary[m]["dunn_mean"] = float(np.mean(dunns))
     return summary

@@ -191,7 +191,11 @@ def run_vhem_grid(key, results, labels, k_grid=range(1, 7),
     for ki, k in enumerate(ks):
         for si, s in enumerate(ss):
             ck = jax.random.fold_in(jax.random.fold_in(key, ki), si)
-            res = vhem.cluster(ck, base, k, s, config)
+            # identity shortcut disabled: its placeholder LogL/Z are not
+            # comparable with trained cells' expected LL (AIC/BIC would
+            # otherwise always select K == Kb when Kb is in the grid)
+            res = vhem.cluster(ck, base, k, s, config,
+                               allow_identity_shortcut=False)
             cells[(k, s)] = res
             log_ests = _vhem_expected_ll(res, config.nv)
             aic[ki, si] = 2 * (k * s * (s + 2 * d) - 1) - 2 * log_ests
@@ -213,7 +217,10 @@ def run_vhem_grid(key, results, labels, k_grid=range(1, 7),
 
 def run_vbhem_dic(info: Dict, base, tau: int, labels) -> Dict:
     """DIC model selection over the learned VBHEM grid cells
-    (`myDIC.m`; min-DIC selection of `evaluate_vbhem_jounarl.m:124-152`)."""
+    (`myDIC.m`; min-DIC selection of `evaluate_vbhem_jounarl.m:124-152`).
+    Uses the vb path (synthetic=False): the reference's own synthetic
+    evaluation calls `myDIC(hmms, vbh3mj, T, div_T)` with `issyn`
+    defaulting to 0 (`evaluate_vbhem_jounarl.m:148`)."""
     from ..models.dic import dic
     ks = sorted({k for k, _ in info["model_all"]})
     ss = sorted({s for _, s in info["model_all"]})

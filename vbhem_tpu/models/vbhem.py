@@ -1132,21 +1132,25 @@ def fit_grid_batched(key: jax.Array, base: H3M, ks, ss,
                                           config.tau, config.trials,
                                           n_cells)
     if trial_chunk and trial_chunk < config.trials:
-        # bound live memory: the XLA pair E-step stacks a
-        # [tau-1, Kb, K, S, Sb, S] theta tensor PER LANE, so the fully
-        # folded (cells x trials) program can exceed HBM at pod-padded
-        # shapes; lax.map(batch_size=...) runs vmapped chunks
-        # sequentially inside one compiled program.
-        def chunk_one(kc):
-            return jax.vmap(jax.vmap(one, in_axes=(0, None, None)),
-                            in_axes=(0, 0, 0))(kc, cmasks, smasks)
-
+        # bound the program and its live memory: the XLA pair E-step
+        # stacks a [tau-1, Kb, K, S, Sb, S] theta tensor PER LANE, and
+        # one program folding every (cell x trial) lane has crashed the
+        # TPU runtime outright at benchmark scale.  One SMALL jitted
+        # chunk program is compiled once and dispatched per chunk from
+        # the host (short dispatches, partial progress, same results).
+        chunk_fn = jax.jit(jax.vmap(
+            jax.vmap(one, in_axes=(0, None, None)), in_axes=(0, 0, 0)))
         keys_c = keys.reshape(n_cells, -1, trial_chunk).swapaxes(0, 1)
-        states = jax.jit(lambda kk: jax.lax.map(chunk_one, kk))(keys_c)
-        # [n_chunks, n_cells, trial_chunk, ...] -> [n_cells, trials, ...]
+        chunks = []
+        for c in range(keys_c.shape[0]):
+            if config.verbose >= 2:
+                print(f"  sweep chunk {c + 1}/{keys_c.shape[0]} "
+                      f"({trial_chunk} trials x {n_cells} cells)",
+                      flush=True)
+            chunks.append(jax.block_until_ready(
+                chunk_fn(keys_c[c], cmasks, smasks)))
         states = jax.tree.map(
-            lambda a: a.swapaxes(0, 1).reshape(
-                (n_cells, config.trials) + a.shape[3:]), states)
+            lambda *a: jnp.concatenate(a, axis=1), *chunks)
     else:
         run = jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None, None)),
                                in_axes=(0, 0, 0)))
@@ -1280,6 +1284,9 @@ def cluster_batched(key: jax.Array, base: H3M, k, s,
     states = per_mode[0] if len(per_mode) == 1 else jax.tree.map(
         lambda *a: jnp.concatenate(a, axis=1), *per_mode)
     if config.learn_hyps:
+        if config.verbose >= 2:
+            print("  grid hyp optimization (vmapped L-BFGS over "
+                  "cell x solution lanes)", flush=True)
         sts, lane_cell, _ = optimize_hyps_grid_batched(
             base, states, cells, cmasks, smasks, config, hyps0)
         lane_ll = np.asarray(sts.ll)

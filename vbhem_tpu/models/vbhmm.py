@@ -311,6 +311,8 @@ def fit_single_k(key: jax.Array, batch: SeqBatch, k: int, config: VBConfig,
     if hyps is None:
         hyps = VBHyps.from_config(config, batch.x.shape[-1], dtype)
     numtrials = 1 if k == 1 else config.numtrials
+    if init_post is not None:
+        numtrials = 1   # deterministic init (initgmm/inithmm): one trial
 
     if init_post is None and config.initmode == "split":
         # 'split' is deterministic -> one shared init for every trial

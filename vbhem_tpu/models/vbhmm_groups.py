@@ -60,10 +60,11 @@ def grouped_stats(batch: SeqBatch, fb: FBStats, group_map: jnp.ndarray,
     return GroupedStats(shared=shared, nk1_g=nk1_g, m_g=m_g)
 
 
-def m_step(stats: GroupedStats, hyps: VBHyps) -> GroupedPosterior:
+def m_step(stats: GroupedStats, hyps: VBHyps,
+           covar_type: str = "full") -> GroupedPosterior:
     """Per-group Dirichlet updates + shared NIW update
     (`vbhmm_em.m:355-363` + `:365-408`)."""
-    shared_post = _shared_m_step(stats.shared, hyps)
+    shared_post = _shared_m_step(stats.shared, hyps, covar_type)
     alpha = hyps.alpha0 + stats.nk1_g + tiny(stats.nk1_g.dtype)
     epsilon = hyps.epsilon0 + stats.m_g
     return GroupedPosterior(alpha=alpha, epsilon=epsilon,
@@ -134,7 +135,8 @@ class GroupedEMState(NamedTuple):
 
 def vbem_em(batch: SeqBatch, init_post: GroupedPosterior, hyps: VBHyps,
             group_map: jnp.ndarray, max_iter: int = 100,
-            min_diff: float = 1e-5) -> GroupedEMState:
+            min_diff: float = 1e-5,
+            covar_type: str = "full") -> GroupedEMState:
     """Grouped EM loop with the same control flow as the ungrouped one."""
     dtype = batch.x.dtype
     n_groups = init_post.num_groups
@@ -149,7 +151,7 @@ def vbem_em(batch: SeqBatch, init_post: GroupedPosterior, hyps: VBHyps,
         converged = jnp.logical_and(st.it > 0,
                                     jnp.abs((ll - st.ll) / st.ll) <= min_diff)
         done = converged | unstable | (st.it + 1 >= max_iter)
-        new_post = m_step(stats, hyps)
+        new_post = m_step(stats, hyps, covar_type)
         new_post = jax.tree.map(
             lambda a, b: jnp.where(unstable, b, a), new_post, st.post)
         return GroupedEMState(post=new_post, ll=ll, it=st.it + 1,
@@ -259,7 +261,8 @@ def learn_grouped(key, batch: SeqBatch, k, group_map, n_groups: int,
         p0 = random_init(tk, batch, kk, hyps0, config.covar_type)
         return vbem_em(batch, from_ungrouped(p0, n_groups), hyps0,
                        group_map, max_iter=config.max_iter,
-                       min_diff=config.min_diff)
+                       min_diff=config.min_diff,
+                       covar_type=config.covar_type)
 
     states = jax.vmap(one_trial)(jax.random.split(key, numtrials))
     info = {"model_best_k": kk, "vbopt": config}
@@ -279,7 +282,8 @@ def learn_grouped(key, batch: SeqBatch, k, group_map, n_groups: int,
         def neg_elbo(h, init_post):
             st = vbem_em(batch, init_post, jax.lax.stop_gradient(h),
                          group_map, max_iter=config.max_iter,
-                         min_diff=config.min_diff)
+                         min_diff=config.min_diff,
+                         covar_type=config.covar_type)
             post = jax.lax.stop_gradient(st.post)
             fb = e_step(batch, post, group_map)
             stats = grouped_stats(batch, fb, group_map, n_groups)
@@ -292,7 +296,8 @@ def learn_grouped(key, batch: SeqBatch, k, group_map, n_groups: int,
         def rerun(h, p):
             return vbem_em(batch, p, h, group_map,
                            max_iter=config.max_iter,
-                           min_diff=config.min_diff)
+                           min_diff=config.min_diff,
+                           covar_type=config.covar_type)
 
         sts = jax.jit(jax.vmap(rerun))(hyps_b, init_posts)
         best = int(jnp.argmax(sts.ll))

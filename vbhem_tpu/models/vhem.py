@@ -459,7 +459,8 @@ def select_best_trial(states: VHEMState) -> VHEMState:
 
 def cluster(key: jax.Array, base: H3M, kr: int, sr: int,
             config: HEMConfig = HEMConfig(),
-            initmode: Optional[str] = None) -> VHEMResult:
+            initmode: Optional[str] = None,
+            allow_identity_shortcut: bool = True) -> VHEMResult:
     """VHEM clustering for one (K, S) (`vhem_cluster.m`).  When
     Kr == Kb the inputs are returned unchanged with an identity
     assignment and LogL = 0, exactly as `hem_h3m_c.m:19-25`.
@@ -473,8 +474,10 @@ def cluster(key: jax.Array, base: H3M, kr: int, sr: int,
     that still failed is returned with ``given_up`` semantics
     (ll = -inf)."""
     import numpy as np
-    if kr == base.num_hmms:
-        # identity shortcut (`hem_h3m_c.m:19-25`)
+    if kr == base.num_hmms and allow_identity_shortcut:
+        # identity shortcut (`hem_h3m_c.m:19-25`); callers that compare
+        # LLs across a K grid must disable it — the placeholder
+        # LogL=0 / ll_elbo=0 is not commensurable with trained cells
         eye = jnp.eye(kr, dtype=base.omega.dtype)
         return VHEMResult(h3m=base, ll=jnp.zeros((), base.omega.dtype),
                           z=eye, label=jnp.arange(kr),
@@ -610,7 +613,7 @@ def compute_stats(res: VHEMResult, base: H3M, tau: int = 10,
     import numpy as np
     counts = np.asarray(res.emit_counts)                    # [Kr, Sr]
     tot_base_rois = int(np.asarray(base.state_mask).sum())
-    weights = counts / counts.sum()
+    weights = counts / max(counts.sum(), np.finfo(np.float64).tiny)
 
     # Z-weighted moments: rerun the pair E-step at the final model to
     # recover sum_t_nu (the reference collects these during the final

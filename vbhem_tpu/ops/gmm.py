@@ -150,6 +150,38 @@ def fit_gmm_split(x: jnp.ndarray, k: int,
 
         return jax.lax.fori_loop(0, n_iters, one, g)
 
+    def em_to_tol(g: GMM):
+        # plain EM from the split init, run to the relative-LL tolerance
+        def e_step(g: GMM):
+            lp = _log_gauss(x, g.mean, g.cov) + jnp.log(g.weight + 1e-300)[None]
+            norm = logsumexp(lp, axis=-1)
+            resp = jnp.exp(lp - norm[:, None]) * w_pt[:, None]
+            return resp, jnp.sum(norm * w_pt)
+
+        def m_step(resp) -> GMM:
+            nk = jnp.sum(resp, 0) + 1e-30
+            mean = (resp.T @ x) / nk[:, None]
+            m2 = jnp.einsum("mk,md,me->kde", resp, x, x) / nk[:, None, None]
+            cov = sym(m2 - mean[:, :, None] * mean[:, None, :]) + ridge
+            return GMM(weight=nk / jnp.sum(nk), mean=mean, cov=cov)
+
+        def cond(carry):
+            _, ll, last_ll, it = carry
+            not_conv = jnp.abs((ll - last_ll) / jnp.where(
+                last_ll == 0, 1.0, last_ll)) > tol
+            return jnp.logical_and(it < max_iter,
+                                   jnp.logical_or(it < 2, not_conv))
+
+        def body(carry):
+            g, ll, _, it = carry
+            resp, new_ll = e_step(g)
+            return m_step(resp), new_ll, ll, it + 1
+
+        big = jnp.asarray(-jnp.finfo(dtype).max, dtype)
+        out, _, _, _ = jax.lax.while_loop(cond, body,
+                                          (g, big, big, jnp.asarray(0)))
+        return out
+
     g = GMM(weight=weight_b, mean=mean_b, cov=cov_b)
     for n_active in range(1, k):
         active = jnp.arange(k) < n_active
@@ -168,7 +200,7 @@ def fit_gmm_split(x: jnp.ndarray, k: int,
             cov=g.cov.at[n_active].set(g.cov[j]))
         g = masked_em(g, jnp.arange(k) < (n_active + 1),
                       em_iters_per_split)
-    return masked_em(g, jnp.ones((k,), bool), max_iter)
+    return em_to_tol(g)
 
 
 def mix_hier_em(key: jax.Array, mean: jnp.ndarray, cov: jnp.ndarray,

@@ -74,6 +74,51 @@ def sharded_em_step(mesh: Mesh, base: H3M, posts: H3MPosterior,
     return jax.jit(fn)(base, posts)
 
 
+def make_sharded_vbhem_em(mesh: Mesh, kb_total: int, posts_tmpl,
+                          nv: int, tau: int, max_iter: int = 200,
+                          min_diff: float = 1e-5,
+                          covar_type: str = "full"):
+    """Build the jitted sharded full-EM program ONCE; the returned
+    callable (base, posts, hyps) -> VBHEMState can be invoked repeatedly
+    without re-tracing (``posts_tmpl`` is any pytree with the posts
+    structure, used only to construct the partition specs)."""
+
+    def local_em(base_shard: H3M, post0: H3MPosterior,
+                 hyps: vbhem.VBHEMHyps):
+        return vbhem.vbhem_em(base_shard, post0, hyps, nv=nv, tau=tau,
+                              max_iter=max_iter, min_diff=min_diff,
+                              kb_total=kb_total, axis_name="base",
+                              covar_type=covar_type)
+
+    def run(base_shard: H3M, posts_shard: H3MPosterior,
+            hyps: vbhem.VBHEMHyps):
+        return jax.vmap(local_em, in_axes=(None, 0, None))(
+            base_shard, posts_shard, hyps)
+
+    def specs_like(tree, spec):
+        return jax.tree.map(lambda _: spec, tree)
+
+    posts_spec = specs_like(posts_tmpl, P("trial"))
+    out_spec = vbhem.VBHEMState(
+        post=specs_like(posts_tmpl, P("trial")),
+        ll=P("trial"), last_ll=P("trial"), it=P("trial"),
+        hat_z=P("trial", "base"), ll_elbo=P("trial", "base"),
+        stats=vbhem.ClusterStats(
+            nj=P("trial"), nj_rho1=P("trial"), nj_rho2rho=P("trial"),
+            nj_rho=P("trial"), y_bar=P("trial"), s_plus_c=P("trial")),
+        done=P("trial"))
+
+    def call(base: H3M, posts: H3MPosterior, hyps: vbhem.VBHEMHyps):
+        base_spec = jax.tree.map(lambda _: P("base"), base)
+        hyps_spec = jax.tree.map(lambda _: P(), hyps)
+        fn = shard_map(run, mesh=mesh,
+                       in_specs=(base_spec, posts_spec, hyps_spec),
+                       out_specs=out_spec)
+        return fn(base, posts, hyps)
+
+    return jax.jit(call)
+
+
 def sharded_vbhem_em(mesh: Mesh, base: H3M, posts: H3MPosterior,
                      hyps: vbhem.VBHEMHyps, nv: int, tau: int,
                      max_iter: int = 200, min_diff: float = 1e-5,
@@ -94,31 +139,9 @@ def sharded_vbhem_em(mesh: Mesh, base: H3M, posts: H3MPosterior,
     Returns the vmapped :class:`..models.vbhem.VBHEMState` with a
     leading trials axis (hat_Z and ll_elbo laid out [trial, base-shard]).
     """
-    kb_total = base.num_hmms
-
-    def local_em(base_shard: H3M, post0: H3MPosterior):
-        return vbhem.vbhem_em(base_shard, post0, hyps, nv=nv, tau=tau,
-                              max_iter=max_iter, min_diff=min_diff,
-                              kb_total=kb_total, axis_name="base",
-                              covar_type=covar_type)
-
-    def run(base_shard: H3M, posts_shard: H3MPosterior):
-        return jax.vmap(local_em, in_axes=(None, 0))(base_shard,
-                                                     posts_shard)
-
-    base_spec = jax.tree.map(lambda _: P("base"), base)
-    posts_spec = jax.tree.map(lambda _: P("trial"), posts)
-    out_spec = vbhem.VBHEMState(
-        post=jax.tree.map(lambda _: P("trial"), posts),
-        ll=P("trial"), last_ll=P("trial"), it=P("trial"),
-        hat_z=P("trial", "base"), ll_elbo=P("trial", "base"),
-        stats=vbhem.ClusterStats(
-            nj=P("trial"), nj_rho1=P("trial"), nj_rho2rho=P("trial"),
-            nj_rho=P("trial"), y_bar=P("trial"), s_plus_c=P("trial")),
-        done=P("trial"))
-    fn = shard_map(run, mesh=mesh, in_specs=(base_spec, posts_spec),
-                   out_specs=out_spec)
-    return jax.jit(fn)(base, posts)
+    return make_sharded_vbhem_em(mesh, base.num_hmms, posts, nv, tau,
+                                 max_iter, min_diff, covar_type)(
+        base, posts, hyps)
 
 
 def replicate_to_mesh(mesh: Mesh, tree):
