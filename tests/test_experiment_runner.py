@@ -37,7 +37,9 @@ def test_runner_stages_and_resume(outdir):
     t0 = time.time()
     out2 = runner.run_repeat(0, outdir, **_kwargs())
     assert time.time() - t0 < 5.0
-    assert out2["scores"]["vbhem"] == out1["scores"]["vbhem"]
+    def core(sc):  # labels is an ndarray -> compare scalar fields
+        return (sc.rand_index, sc.purity, sc.best_k, sc.best_s)
+    assert core(out2["scores"]["vbhem"]) == core(out1["scores"]["vbhem"])
 
     summary = runner.aggregate([out1])
     assert summary["vbhem"]["n_repeats"] == 1

@@ -1131,26 +1131,37 @@ def fit_grid_batched(key: jax.Array, base: H3M, ks, ss,
         trial_chunk = default_trial_chunk(base, max(ks), max(ss),
                                           config.tau, config.trials,
                                           n_cells)
-    if trial_chunk and trial_chunk < config.trials:
-        # bound the program and its live memory: the XLA pair E-step
+    if trial_chunk and trial_chunk < config.trials * n_cells:
+        # bound BOTH program size and live memory: the XLA pair E-step
         # stacks a [tau-1, Kb, K, S, Sb, S] theta tensor PER LANE, and
-        # one program folding every (cell x trial) lane has crashed the
-        # TPU runtime outright at benchmark scale.  One SMALL jitted
-        # chunk program is compiled once and dispatched per chunk from
-        # the host (short dispatches, partial progress, same results).
-        chunk_fn = jax.jit(jax.vmap(
-            jax.vmap(one, in_axes=(0, None, None)), in_axes=(0, 0, 0)))
-        keys_c = keys.reshape(n_cells, -1, trial_chunk).swapaxes(0, 1)
+        # one program folding every (cell x trial) lane at benchmark
+        # scale crashed the TPU runtime and took >10 min to compile
+        # through the remote-chip tunnel.  Instead the (cell, trial)
+        # lanes are FLATTENED and a single small vmapped program
+        # (compiled once) is dispatched per lane-chunk from the host —
+        # short dispatches, bounded memory, identical results.
+        n_lanes = n_cells * config.trials
+        flat_keys = keys.reshape(n_lanes)
+        ci = jnp.repeat(jnp.arange(n_cells), config.trials)
+        pad = (-n_lanes) % trial_chunk
+        if pad:
+            flat_keys = jnp.concatenate([flat_keys, flat_keys[:pad]])
+            ci = jnp.concatenate([ci, ci[:pad]])
+        chunk_fn = jax.jit(jax.vmap(one, in_axes=(0, 0, 0)))
         chunks = []
-        for c in range(keys_c.shape[0]):
+        n_chunks = (n_lanes + pad) // trial_chunk
+        for c in range(n_chunks):
             if config.verbose >= 2:
-                print(f"  sweep chunk {c + 1}/{keys_c.shape[0]} "
-                      f"({trial_chunk} trials x {n_cells} cells)",
-                      flush=True)
+                print(f"  sweep lane-chunk {c + 1}/{n_chunks} "
+                      f"({trial_chunk} lanes)", flush=True)
+            sl = slice(c * trial_chunk, (c + 1) * trial_chunk)
             chunks.append(jax.block_until_ready(
-                chunk_fn(keys_c[c], cmasks, smasks)))
+                chunk_fn(flat_keys[sl], cmasks[ci[sl]], smasks[ci[sl]])))
+        states = jax.tree.map(lambda *a: jnp.concatenate(a, axis=0),
+                              *chunks)
         states = jax.tree.map(
-            lambda *a: jnp.concatenate(a, axis=1), *chunks)
+            lambda a: a[:n_lanes].reshape(
+                (n_cells, config.trials) + a.shape[1:]), states)
     else:
         run = jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, None, None)),
                                in_axes=(0, 0, 0)))
@@ -1170,15 +1181,14 @@ def default_trial_chunk(base: H3M, kmax: int, smax: int, tau: int,
     itemsize = jnp.dtype(base.hmm.mean.dtype).itemsize
     per_lane = max(tau - 1, 1) * base.num_hmms * kmax * smax * sb * smax \
         * itemsize
-    budget = 2 * 1024 ** 3
-    lanes = max(1, budget // max(per_lane, 1))
-    chunk = max(1, int(lanes) // max(n_cells, 1))
-    if chunk >= trials:
+    budget = 1 * 1024 ** 3
+    lanes = max(1, int(budget // max(per_lane, 1)))
+    # also cap the per-dispatch program size (compile time through the
+    # remote-chip tunnel grows steeply with the folded lane count)
+    lanes = min(lanes, 128)
+    if lanes >= trials * n_cells:
         return None
-    # keep chunks dividing trials (pad-free reshape)
-    while trials % chunk:
-        chunk -= 1
-    return chunk
+    return lanes
 
 
 def optimize_hyps_grid_batched(base: H3M, states: VBHEMState, cells,
