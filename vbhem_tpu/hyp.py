@@ -261,7 +261,8 @@ def lbfgs_box(fun, theta0: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
 
 
 def optimize_hyps_batched(neg_elbo_fn, hyps0, specs, batched_args,
-                          max_steps: int = 50):
+                          max_steps: int = 50,
+                          lane_chunk: int | None = None):
     """Vmapped empirical-Bayes hyp optimization: one L-BFGS per lane,
     ALL lanes in one compiled program — the TPU-native form of the
     reference's parfor over unique restart solutions
@@ -269,6 +270,10 @@ def optimize_hyps_batched(neg_elbo_fn, hyps0, specs, batched_args,
 
     ``neg_elbo_fn(hyps, *lane_args) -> scalar`` (already clipped hyps).
     ``batched_args`` is a tuple of pytrees sharing a leading lane axis.
+    ``lane_chunk`` bounds the per-dispatch lane count (the small chunk
+    program compiles once and is dispatched per chunk — same remote-chip
+    compile-size/memory consideration as the grid sweep; default 64 on
+    accelerators, everything at once on CPU).
     Returns (hyps pytree with leading lane axis, final values, iters).
     """
     theta0 = jnp.asarray(pack(hyps0, specs))
@@ -282,7 +287,28 @@ def optimize_hyps_batched(neg_elbo_fn, hyps0, specs, batched_args,
             return neg_elbo_fn(hyps, *args)
         return lbfgs_box(f, theta0, lo, hi, max_steps=max_steps)
 
-    theta_b, vals, iters = jax.jit(jax.vmap(one))(*batched_args)
+    n_lanes = jax.tree.leaves(batched_args)[0].shape[0]
+    if lane_chunk is None and jax.default_backend() in ("tpu", "gpu"):
+        lane_chunk = 64
+    if lane_chunk and lane_chunk < n_lanes:
+        fn = jax.jit(jax.vmap(one))
+        outs = []
+        for a in range(0, n_lanes, lane_chunk):
+            sl = slice(a, min(a + lane_chunk, n_lanes))
+            # pad the tail chunk to the full chunk shape (one compile)
+            args_c = jax.tree.map(lambda x: x[sl], batched_args)
+            pad = lane_chunk - (sl.stop - sl.start)
+            if pad:
+                args_c = jax.tree.map(
+                    lambda x: jnp.concatenate([x, x[:pad]]), args_c)
+            out = jax.block_until_ready(fn(*args_c))
+            if pad:
+                out = jax.tree.map(lambda x: x[:-pad], out)
+            outs.append(out)
+        theta_b, vals, iters = jax.tree.map(
+            lambda *x: jnp.concatenate(x, axis=0), *outs)
+    else:
+        theta_b, vals, iters = jax.jit(jax.vmap(one))(*batched_args)
     hyps_b = jax.vmap(lambda th: unpack(th, hyps0, specs))(theta_b)
     return hyps_b, vals, iters
 

@@ -1257,7 +1257,26 @@ def optimize_hyps_grid_batched(base: H3M, states: VBHEMState, cells,
                                min_diff=config.min_diff,
                                covar_type=config.covar_type)
 
-    sts = jax.jit(jax.vmap(rerun))(hyps_b, init_posts, cm, sm)
+    n_lanes = len(lanes)
+    chunk = 64 if jax.default_backend() in ("tpu", "gpu") else n_lanes
+    if chunk < n_lanes:
+        fn = jax.jit(jax.vmap(rerun))
+        outs = []
+        for a in range(0, n_lanes, chunk):
+            sl = slice(a, min(a + chunk, n_lanes))
+            args_c = jax.tree.map(lambda x: x[sl],
+                                  (hyps_b, init_posts, cm, sm))
+            pad = chunk - (sl.stop - sl.start)
+            if pad:
+                args_c = jax.tree.map(
+                    lambda x: jnp.concatenate([x, x[:pad]]), args_c)
+            out = jax.block_until_ready(fn(*args_c))
+            if pad:
+                out = jax.tree.map(lambda x: x[:-pad], out)
+            outs.append(out)
+        sts = jax.tree.map(lambda *x: jnp.concatenate(x, axis=0), *outs)
+    else:
+        sts = jax.jit(jax.vmap(rerun))(hyps_b, init_posts, cm, sm)
     return sts, np.asarray([c for c, _ in lanes]), hyps_b
 
 
