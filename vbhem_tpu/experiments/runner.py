@@ -254,6 +254,47 @@ def aggregate(per_repeat: List[Dict]) -> Dict:
     return summary
 
 
+def aggregate_from_checkpoints(outdir: str, n_repeats: int = 10) -> Dict:
+    """Aggregate whatever (repeat, stage) checkpoints exist in ``outdir``
+    WITHOUT running anything — for summarizing a partially completed
+    multi-worker run.  Repeats with no completed method stages are
+    skipped."""
+    per_repeat = []
+    for r in range(n_repeats):
+        scores, dunn = {}, {}
+        st = _load(outdir, r, "vbhem")
+        if st is not None:
+            scores["vbhem"] = st["score"]
+            scores["vbhem_dic"] = st["dic_score"]
+        st = _load(outdir, r, "vhem")
+        if st is not None:
+            scores["vhem_aic"] = st["aic_score"]
+            scores["vhem_bic"] = st["bic_score"]
+        st = _load(outdir, r, "ccfd")
+        if st is not None:
+            scores["ccfd"] = st["score"]
+        st = _load(outdir, r, "ppk")
+        if st is not None:
+            scores["ppk_aic"] = st["aic_score"]
+            scores["ppk_bic"] = st["bic_score"]
+        dmat = _load(outdir, r, "dist")
+        if dmat is not None:
+            from ..utils.metrics import dunn_index
+            for m, sc in scores.items():
+                lab = getattr(sc, "labels", None)
+                if lab is None:
+                    continue
+                lab = np.asarray(lab)
+                if 1 < len(np.unique(lab)) < len(lab):
+                    d = float(dunn_index(dmat, lab))
+                    if np.isfinite(d):
+                        dunn[m] = d
+        if scores:
+            per_repeat.append({"scores": scores, "timings": {},
+                               "dunn": dunn})
+    return aggregate(per_repeat) if per_repeat else {}
+
+
 def run_experiment(outdir: str, n_repeats: int = 10,
                    repeat_ids: Optional[List[int]] = None, **kwargs) -> Dict:
     """All repeats + aggregation; resumable via the per-stage pickles.
