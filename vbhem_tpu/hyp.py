@@ -289,7 +289,8 @@ def optimize_hyps_batched(neg_elbo_fn, hyps0, specs, batched_args,
 
     n_lanes = jax.tree.leaves(batched_args)[0].shape[0]
     if lane_chunk is None and jax.default_backend() in ("tpu", "gpu"):
-        lane_chunk = 64
+        import os
+        lane_chunk = int(os.environ.get("VBHEM_TPU_HYP_LANE_CHUNK", 64))
     if lane_chunk and lane_chunk < n_lanes:
         fn = jax.jit(jax.vmap(one))
         outs = []

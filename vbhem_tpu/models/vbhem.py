@@ -1258,7 +1258,9 @@ def optimize_hyps_grid_batched(base: H3M, states: VBHEMState, cells,
                                covar_type=config.covar_type)
 
     n_lanes = len(lanes)
-    chunk = 64 if jax.default_backend() in ("tpu", "gpu") else n_lanes
+    import os as _os
+    chunk = (int(_os.environ.get("VBHEM_TPU_HYP_LANE_CHUNK", 64))
+             if jax.default_backend() in ("tpu", "gpu") else n_lanes)
     if chunk < n_lanes:
         fn = jax.jit(jax.vmap(rerun))
         outs = []
