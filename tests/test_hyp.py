@@ -147,3 +147,37 @@ def test_lbfgs_box_respects_bounds():
 
     th, v, it = hypmod.lbfgs_box(f, jnp.zeros(2), lo, hi, max_steps=50)
     np.testing.assert_allclose(np.asarray(th), [-1.0, 1.0], atol=1e-6)
+
+
+def test_optimize_hyps_joint_matches_batched():
+    """The host-outer-loop joint optimizer (TPU fallback) must reach the
+    same separable optima as the in-graph vmapped L-BFGS on a smooth
+    per-lane objective."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vbhem_tpu import hyp as hypmod
+    from vbhem_tpu.config import HypBounds
+    from vbhem_tpu.models.vbhmm import VBHyps
+
+    specs = hypmod.vb_specs(2, HypBounds(), ("alpha0", "beta0"))
+    hyps0 = VBHyps(alpha0=jnp.asarray(1.0), epsilon0=jnp.asarray(0.1),
+                   beta0=jnp.asarray(1.0), v0=jnp.asarray(5.0),
+                   m0=jnp.zeros((2,)), w0=jnp.ones((2,)))
+    targets = jnp.asarray([[0.5, 2.0], [3.0, 0.25], [1.5, 1.5]])
+
+    def neg_elbo(h, t):
+        # smooth separable objective with per-lane optimum at t
+        return (jnp.log(h.alpha0 / t[0]) ** 2
+                + jnp.log(h.beta0 / t[1]) ** 2)
+
+    hb, _, _ = hypmod.optimize_hyps_batched(neg_elbo, hyps0, specs,
+                                            (targets,), max_steps=50)
+    hj, _, _ = hypmod.optimize_hyps_joint(neg_elbo, hyps0, specs,
+                                          (targets,), max_evals=200)
+    np.testing.assert_allclose(np.asarray(hj.alpha0),
+                               np.asarray(targets[:, 0]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(hj.beta0),
+                               np.asarray(targets[:, 1]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(hj.alpha0),
+                               np.asarray(hb.alpha0), rtol=1e-3)

@@ -343,3 +343,62 @@ def unique_ll(lls: np.ndarray, min_diff: float = 1e-5) -> np.ndarray:
         if not dup:
             kept.append(int(i))
     return np.asarray(kept, dtype=np.int64)
+
+
+def optimize_hyps_joint(neg_elbo_fn, hyps0, specs, batched_args,
+                        max_evals: int = 60):
+    """Host-outer-loop batched hyp optimization: ONE scipy L-BFGS-B over
+    the concatenation of every lane's transformed hyp vector, with the
+    objective = sum of per-lane -ELBOs evaluated by ONE vmapped jitted
+    program per iteration.
+
+    The objective is separable, so its stationary points are exactly the
+    per-lane optima of :func:`optimize_hyps_batched`; only the
+    optimization TRAJECTORY differs (shared line-search step, joint
+    curvature estimate).  Exists because the fully in-graph vmapped
+    L-BFGS (optimizer while_loops wrapping the VBHEM masked-EM
+    while_loop) is not compilable through the remote-TPU tunnel — the
+    vmapped EM program alone is, and that is all this path ever
+    compiles.  Returns (hyps pytree with leading lane axis, values,
+    nit).
+    """
+    from scipy.optimize import minimize
+
+    theta0 = np.asarray(pack(hyps0, specs))
+    p = theta0.size
+    n_lanes = jax.tree.leaves(batched_args)[0].shape[0]
+    lo, hi = bound_vectors(specs)
+    bounds = [(None if not np.isfinite(l) else l,
+               None if not np.isfinite(h) else h)
+              for l, h in zip(lo, hi)] * n_lanes
+
+    def per_lane(theta, *args):
+        hyps = unpack(theta, hyps0, specs)
+        v = neg_elbo_fn(hyps, *args)
+        return jnp.where(jnp.isfinite(v), v, jnp.asarray(1e10, v.dtype))
+
+    @jax.jit
+    def val_and_grad(thetas):
+        def total(th):
+            vals = jax.vmap(per_lane)(th, *batched_args)
+            return jnp.sum(vals)
+        return jax.value_and_grad(total)(thetas)
+
+    def fun(x):
+        v, g = val_and_grad(jnp.asarray(x.reshape(n_lanes, p),
+                                        jax.tree.leaves(hyps0)[0].dtype))
+        g = np.asarray(g, np.float64).ravel()
+        v = float(v)
+        if not np.isfinite(v):
+            return 1e300, np.zeros_like(g)
+        return v, g
+
+    x0 = np.tile(theta0, n_lanes)
+    res = minimize(fun, x0, jac=True, method="L-BFGS-B", bounds=bounds,
+                   options={"maxfun": max_evals, "ftol": 1e-12,
+                            "gtol": 1e-8})
+    thetas = jnp.asarray(res.x.reshape(n_lanes, p),
+                         jax.tree.leaves(hyps0)[0].dtype)
+    hyps_b = jax.vmap(lambda th: unpack(th, hyps0, specs))(thetas)
+    vals = jax.vmap(per_lane)(thetas, *batched_args)
+    return hyps_b, vals, int(res.nit)

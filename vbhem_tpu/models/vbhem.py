@@ -1246,9 +1246,18 @@ def optimize_hyps_grid_batched(base: H3M, states: VBHEMState, cells,
         return -elbo_masked(post, exps, pair, hat_z, z_ni, nj, hyps,
                             cmask, smask)
 
-    hyps_b, _, _ = hypmod.optimize_hyps_batched(
-        neg_elbo, hyps0, specs, (init_posts, cm, sm),
-        max_steps=config.hyp_max_steps)
+    if jax.default_backend() in ("tpu", "gpu"):
+        # the fully in-graph vmapped L-BFGS (optimizer while_loops
+        # around the masked-EM while_loop) does not compile through the
+        # remote-chip tunnel at ANY lane count; the host-outer-loop
+        # joint optimizer only compiles the vmapped EM objective
+        hyps_b, _, _ = hypmod.optimize_hyps_joint(
+            neg_elbo, hyps0, specs, (init_posts, cm, sm),
+            max_evals=2 * config.hyp_max_steps)
+    else:
+        hyps_b, _, _ = hypmod.optimize_hyps_batched(
+            neg_elbo, hyps0, specs, (init_posts, cm, sm),
+            max_steps=config.hyp_max_steps)
 
     def rerun(h, p, cmask, smask):
         return vbhem_em_masked(base, p, h, nv=config.nv, tau=config.tau,
