@@ -1,0 +1,59 @@
+"""Summarize a (possibly partial) synthetic acceptance run from its
+checkpoint directory WITHOUT recomputing anything, and emit a compact
+tracked JSON artifact: recovery statistics per method
+(`evaluate_vbhem_jounarl.m:450-655` aggregation) plus per-stage
+wall-clock statistics (the BASELINE.md "wall-clock to ELBO convergence"
+metric — the VBHEM stage elapsed time IS the time to ELBO-converged
+grid selection).
+
+Usage:
+  python examples/aggregate_run.py syn10 --repeats 10 --out RESULTS_syn10.json
+"""
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("outdir")
+    ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--out", default=None,
+                    help="write the summary JSON here (default stdout)")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from vbhem_tpu.experiments import runner
+
+    summary = runner.aggregate_from_checkpoints(args.outdir, args.repeats)
+
+    # stage wall-clocks from the per-stage checkpoints ("elapsed" field)
+    stages = {}
+    for stage in ("vbhem", "vhem", "ccfd", "ppk"):
+        ts = []
+        for r in range(args.repeats):
+            st = runner._load(args.outdir, r, stage)
+            if st is not None and "elapsed" in st:
+                ts.append(float(st["elapsed"]))
+        if ts:
+            stages[stage] = {"mean_s": float(np.mean(ts)),
+                             "min_s": float(np.min(ts)),
+                             "max_s": float(np.max(ts)), "n": len(ts)}
+    done = [r for r in range(args.repeats)
+            if runner._load(args.outdir, r, "vbhem") is not None]
+    out = {"outdir": args.outdir, "repeats_with_vbhem": done,
+           "methods": summary, "stage_wall_clock": stages}
+    text = json.dumps(out, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+    print(text)
+
+
+if __name__ == "__main__":
+    main()
