@@ -89,6 +89,67 @@ def make_problem(key, kb=512, sb=3, kr=8, sr=3, d=2, dtype=jnp.float32):
     return base, post, hyps, cfg
 
 
+def run_parity_gate():
+    """On-hardware Pallas-vs-XLA parity check (f32, tiny shapes).
+
+    The pytest suite exercises the Pallas kernels only in interpret
+    mode on the CPU mesh; this gate compiles the REAL Mosaic lowerings
+    on whatever device bench runs on (the TPU chip) and asserts both
+    kernels agree with the XLA-scan oracles — the reference's
+    dual-path discipline (`vbhem_h3m_c_step_fc.m:250-262`,
+    `vbhmm_fb.m:179-192`) executed on hardware.  Returns (ok, detail).
+    """
+    import numpy as np
+    from vbhem_tpu.models import vbhem
+    from vbhem_tpu.ops.fb import forward_backward
+    from vbhem_tpu.ops.fb_pallas import forward_backward_pallas
+    from vbhem_tpu.ops.pair_estep import (expected_pair_ll_variational,
+                                          pair_bwd_fwd)
+    from vbhem_tpu.ops.pair_estep_pallas import pair_bwd_fwd_pallas
+
+    details = []
+    ok = True
+
+    def check(name, got, want, tol):
+        nonlocal ok
+        g, w = np.asarray(got, np.float64), np.asarray(want, np.float64)
+        err = float(np.max(np.abs(g - w) / (np.abs(w) + 1.0)))
+        details.append(f"{name}={err:.2e}")
+        if not np.isfinite(err) or err > tol:
+            ok = False
+
+    # ---- pair kernel (vbhem_hmm_bwd_fwd_mex.c) ----
+    kb, kr, tau = 256, 4, 10
+    base, post, hyps, cfg = make_problem(jax.random.key(7), kb=kb, kr=kr)
+    exps = vbhem.reduced_expectations(post)
+    ell = expected_pair_ll_variational(
+        base.hmm.mean, base.hmm.cov, post.niw.m, post.niw.w,
+        post.niw.v, post.niw.beta, exps.log_lam)
+    args = (base.hmm.prior, base.hmm.trans, exps.log_pi, exps.log_a, ell)
+    want = jax.jit(lambda *a: pair_bwd_fwd(*a, tau=tau))(*args)
+    got = jax.jit(lambda *a: pair_bwd_fwd_pallas(*a, tau=tau))(*args)
+    for f in want._fields:
+        check(f"pair.{f}", getattr(got, f), getattr(want, f), 5e-5)
+
+    # ---- FB kernel (vbhmm_fb_mex.c) ----
+    rng = np.random.default_rng(5)
+    n, t_max, k = 192, 12, 3
+    lengths = rng.integers(2, t_max + 1, size=n)
+    lengths[0] = t_max
+    mask = jnp.asarray(np.arange(t_max)[None, :] < lengths[:, None])
+    log_rho = jnp.asarray(rng.normal(size=(n, t_max, k)) * 2, jnp.float32)
+    log_pz1 = jnp.asarray(np.log(rng.dirichlet(np.ones(k))) - 0.1,
+                          jnp.float32)
+    log_trans = jnp.asarray(np.log(rng.dirichlet(np.ones(k), size=k)) - 0.1,
+                            jnp.float32)
+    fb_args = (log_pz1, log_trans, log_rho, mask)
+    want = jax.jit(forward_backward)(*fb_args)
+    got = jax.jit(forward_backward_pallas)(*fb_args)
+    for f in ("gamma", "xi_sum", "phi_norm"):
+        check(f"fb.{f}", getattr(got, f), getattr(want, f), 5e-5)
+    return ok, " ".join(details)
+
+
 def main():
     # Kb=8192: a pod-scale per-chip shard of the north-star config
     # (BASELINE.json: "10k+ input HMMs").  n_iters=500 EM iterations per
@@ -97,6 +158,10 @@ def main():
     # cost at this size is ~0.65ms).
     kb, kr, tau, n_iters = 8192, 8, 10, 500
     from vbhem_tpu.models import vbhem
+
+    parity_ok, parity_detail = run_parity_gate()
+    print(f"# pallas-on-hw parity: {'PASS' if parity_ok else 'FAIL'} "
+          f"(max rel err: {parity_detail})", file=sys.stderr)
 
     base, post, hyps, cfg = make_problem(jax.random.key(0), kb=kb, kr=kr)
     tilde_n = (cfg.nv * kb) * base.omega
