@@ -182,3 +182,33 @@ def test_grouped_learn_hyps(two_dyn_batch):
         jax.random.key(6), batch, 2, group_map, 2, cfg1)
     assert "learned_hyps" in info1
     assert float(res1.ll) >= float(res0.ll) - 1e-6
+
+
+DEMODATA_XLS = "/root/reference/demo/demodata.xls"
+
+
+@pytest.mark.skipif(not os.path.exists(DEMODATA_XLS),
+                    reason="reference demo data not present")
+def test_read_legacy_xls_demodata():
+    """The vendored BIFF8 reader (utils/xls.py) must ingest the
+    reference's shipped `demo/demodata.xls` (the dataset of
+    `vbdemo_face.m`; schema from `read_xls_fixations.m:6-34`)."""
+    from vbhem_tpu.utils.io import read_fixations
+    from vbhem_tpu.utils.xls import read_xls_table
+
+    header, rows = read_xls_table(DEMODATA_XLS)
+    assert header == ["SubjectID", "TrialID", "FixX", "FixY"]
+    assert len(rows) == 1010
+    # values are plain floats in screen coordinates
+    assert all(isinstance(v, float) for v in rows[0])
+    np.testing.assert_allclose(rows[0], [1.0, 1.0, 182.16, 209.52])
+
+    out = read_fixations(DEMODATA_XLS)
+    assert len(out) == 10
+    total = sum(int(np.asarray(b.lengths).sum()) for b in out.values())
+    assert total == 1010
+    # every subject has ~40 trials of 1-3 fixations
+    for b in out.values():
+        assert b.x.shape[-1] == 2
+        assert 1 <= int(np.asarray(b.lengths).min())
+        assert int(np.asarray(b.lengths).max()) <= b.x.shape[1]

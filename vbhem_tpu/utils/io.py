@@ -26,7 +26,14 @@ def read_fixations(path: str, t_max: Optional[int] = None,
     import pandas as pd
 
     if path.endswith((".xls", ".xlsx")):
-        df = pd.read_excel(path)
+        try:
+            df = pd.read_excel(path)
+        except ImportError:
+            # legacy BIFF8 .xls needs the optional xlrd package; fall
+            # back to the vendored minimal reader (utils/xls.py)
+            from .xls import read_xls_table
+            header, rows = read_xls_table(path)
+            df = pd.DataFrame(rows, columns=header)
     else:
         df = pd.read_csv(path)
     cols = {c.lower().strip(): c for c in df.columns}
