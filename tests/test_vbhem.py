@@ -297,3 +297,67 @@ def test_fit_grid_batched_trial_chunking(base):
                                np.asarray(st_full.ll), rtol=1e-12)
     np.testing.assert_array_equal(np.asarray(st_chunk.it),
                                   np.asarray(st_full.it))
+
+
+def test_init_random_niw_conversion_oracle(base, vbhem_cfg):
+    """init_random's hyper-space conversion must follow
+    `vbhemhmm_init.m:983-1030` exactly: given the per-cluster GMM fit
+    and the member masses N_j = sum(Nv*omega_b), check
+    lambda/v/m/W/eta/epsilon/alpha against a NumPy oracle."""
+    kr, sr = 3, 2
+    hyps = vbhem.VBHEMHyps.from_config(vbhem_cfg, 2)
+    key = jax.random.key(11)
+    post = vbhem.init_random(key, base, kr, sr, hyps, vbhem_cfg.nv)
+
+    # --- replicate the member masses and per-cluster GMM fits ---
+    import jax.numpy as jnp
+    from vbhem_tpu.ops.gmm import fit_gmm
+    kb, sb_max = np.asarray(base.state_mask).shape
+    d = base.hmm.mean.shape[-1]
+    k1, k2 = jax.random.split(key)
+    perm = np.asarray(jax.random.permutation(k1, kb))
+    rand_lab = np.asarray(jax.random.randint(
+        jax.random.fold_in(k1, 1), (kb,), 0, kr, dtype=jnp.int32))
+    labels = np.zeros((kb,), np.int32)
+    labels[perm[:kr]] = np.arange(kr)
+    labels[perm[kr:]] = rand_lab[perm[kr:]]
+
+    means_flat = np.asarray(base.hmm.mean).reshape(kb * sb_max, d)
+    base_of = np.repeat(np.arange(kb), sb_max)
+    valid = np.asarray(base.state_mask).reshape(-1)
+    keys = jax.random.split(k2, kr)
+
+    lam0 = float(hyps.lambda0)
+    v0 = float(hyps.v0)
+    m0 = np.asarray(hyps.m0)
+    w0inv = np.diag(np.asarray(hyps.w0inv_diag))
+    n_i = vbhem_cfg.nv * np.asarray(base.omega)
+    for j in range(kr):
+        w_c = ((labels[base_of] == j) & valid).astype(np.float64)
+        mix = fit_gmm(keys[j], jnp.asarray(means_flat), sr,
+                      weights=jnp.asarray(w_c), start_weighted=True)
+        n_j = float(n_i[labels == j].sum())
+        nj_rho = n_j * np.asarray(mix.weight)                  # [Sr]
+        ybar = np.asarray(mix.mean)                            # [Sr,D]
+        np.testing.assert_allclose(np.asarray(post.niw.beta)[j],
+                                   lam0 + nj_rho, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(post.niw.v)[j],
+                                   v0 + nj_rho + 1.0, rtol=1e-10)
+        want_m = (lam0 * m0 + nj_rho[:, None] * ybar) \
+            / (lam0 + nj_rho)[:, None]
+        np.testing.assert_allclose(np.asarray(post.niw.m)[j], want_m,
+                                   rtol=1e-8)
+        for s in range(sr):
+            mult1 = lam0 * nj_rho[s] / (lam0 + nj_rho[s])
+            diff = ybar[s] - m0
+            want_w = np.linalg.inv(
+                w0inv + nj_rho[s] * np.asarray(mix.cov)[s]
+                + mult1 * np.outer(diff, diff))
+            np.testing.assert_allclose(np.asarray(post.niw.w)[j, s],
+                                       want_w, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(post.alpha)[j],
+                                   float(hyps.alpha0) + n_j, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(post.eta)[j],
+                                   float(hyps.eta0) + n_j / sr, rtol=1e-10)
+    # every cluster non-empty by construction
+    assert len(np.unique(labels)) == kr

@@ -546,6 +546,11 @@ def init_wtkmeans(key: jax.Array, base: H3M, kr: int, sr: int,
 
     v = jnp.full((kr, sr), hyps.v0 + nj_virt / sr + 1.0, dtype)
     lam = jnp.full((kr, sr), hyps.lambda0 + nj_virt / sr, dtype)
+    # NOTE: the FIRST base HMM's FIRST state covariance for every
+    # (cluster, state) is the reference's exact recipe here —
+    # `vbhemhmm_init.m:411-419` uses h3m_b.hmm{1,1}.emit{1,1}.covars
+    # for all W, full and diag alike.  (Unlike 'random', which pools
+    # member covariances — see init_random.)
     cov_ref = base.hmm.cov[0, 0]                               # first base cov
     w = _emission_w_from_cov(jnp.broadcast_to(cov_ref, (kr, sr, d, d)), v)
 
@@ -563,41 +568,74 @@ def init_wtkmeans(key: jax.Array, base: H3M, kr: int, sr: int,
 
 def init_random(key: jax.Array, base: H3M, kr: int, sr: int,
                 hyps: VBHEMHyps, nv: int) -> H3MPosterior:
-    """'random' initializer (`vbhemhmm_init.m:874-1038`, simplified):
-    random partition of base HMMs into clusters, per-cluster k-means of
-    member emission means."""
+    """'random' initializer (`vbhemhmm_init.m:874-1038`): random
+    partition of base HMMs into clusters (every cluster guaranteed
+    non-empty, as the reference's resample-until loop ensures), a
+    per-cluster Sr-component GMM fit on the member emission means,
+    then the exact NIW/Dirichlet hyper-space conversion of
+    `vbhemhmm_init.m:983-1030`: member masses `N_i = Nv*omega_b`,
+    `Nj_rho = N_j * mix.weight`, posterior mean
+    `m = (lambda0*m0 + Nj_rho*ybar)/lambda`, and
+    `W = inv(W0inv + Nj_rho*Sigma + lam0*Nj_rho/(lam0+Nj_rho)
+    (ybar-m0)(ybar-m0)')`.
+
+    Design deltas (documented): the reference's small-pool edge cases
+    (Sr==1 single Gaussian, Nd<=Sr iid-variance padding,
+    `vbhemhmm_init.m:911-928`) are absorbed by the always-ridge
+    weighted EM fit, which degenerates to the same means-as-points /
+    pooled-variance behavior under jit."""
+    from ..ops.gmm import fit_gmm
     dtype = base.hmm.mean.dtype
     kb, sb_max = base.state_mask.shape
     d = base.hmm.mean.shape[-1]
-    nj_virt = nv * kb / kr
 
-    k1, k2, k3 = jax.random.split(key, 3)
-    labels = jax.random.randint(k1, (kb,), 0, kr)
+    k1, k2 = jax.random.split(key)
+    # random partition with every cluster non-empty: the first Kr HMMs
+    # of a random permutation get distinct labels, the rest are uniform
+    perm = jax.random.permutation(k1, kb)
+    rand_lab = jax.random.randint(jax.random.fold_in(k1, 1), (kb,), 0, kr,
+                                  dtype=jnp.int32)
+    labels = jnp.zeros((kb,), jnp.int32)
+    labels = labels.at[perm[:kr]].set(jnp.arange(kr, dtype=jnp.int32))
+    labels = labels.at[perm[kr:]].set(rand_lab[perm[kr:]])
+
     means_flat = base.hmm.mean.reshape(kb * sb_max, d)
     base_of = jnp.repeat(jnp.arange(kb), sb_max)
     valid = base.state_mask.reshape(-1)
-    _, global_centers = kmeans(k3, means_flat, sr,
-                               weights=valid.astype(dtype))
 
     def per_cluster(j, key_j):
         w_c = ((labels[base_of] == j) & valid).astype(dtype)
-        has = jnp.sum(w_c) > 0
-        _, centers = kmeans(key_j, means_flat, sr,
-                            weights=jnp.where(has, w_c, valid.astype(dtype)))
-        return jnp.where(has, centers, global_centers)
+        return fit_gmm(key_j, means_flat, sr, weights=w_c,
+                       start_weighted=True)
 
-    keys = jax.random.split(k2, kr)
-    centers = jax.vmap(per_cluster)(jnp.arange(kr), keys)
+    mix = jax.vmap(per_cluster)(jnp.arange(kr), jax.random.split(k2, kr))
+    # mix.weight [Kr,Sr], mix.mean [Kr,Sr,D], mix.cov [Kr,Sr,D,D]
 
-    v = jnp.full((kr, sr), hyps.v0 + nj_virt / sr + 1.0, dtype)
-    lam = jnp.full((kr, sr), hyps.lambda0 + nj_virt / sr, dtype)
-    cov_ref = base.hmm.cov[0, 0]
-    w = _emission_w_from_cov(jnp.broadcast_to(cov_ref, (kr, sr, d, d)), v)
-    eta = jnp.full((kr, sr), nj_virt / sr, dtype) + hyps.eta0
-    epsilon = jnp.full((kr, sr, sr), nj_virt / sr, dtype) + hyps.epsilon0
-    alpha = hyps.alpha0 + jnp.full((kr,), nj_virt, dtype)
+    # member masses (`vbhemhmm_init.m:983-987`)
+    n_i = nv * base.omega                                      # [Kb]
+    one_hot = (labels[:, None] == jnp.arange(kr)[None]).astype(dtype)
+    n_j = jnp.sum(one_hot * n_i[:, None], axis=0)              # [Kr]
+
+    nj_rho = n_j[:, None] * mix.weight                         # [Kr,Sr]
+    lam = hyps.lambda0 + nj_rho
+    v = hyps.v0 + nj_rho + 1.0
+    ybar = mix.mean
+    m = (hyps.lambda0 * hyps.m0 + nj_rho[..., None] * ybar) \
+        / lam[..., None]
+    mult1 = (hyps.lambda0 * nj_rho / (hyps.lambda0 + nj_rho))
+    diff = ybar - hyps.m0                                      # [Kr,Sr,D]
+    w0inv = jnp.diag(hyps.w0inv_diag).astype(dtype)
+    w_inv = (w0inv + nj_rho[..., None, None] * mix.cov
+             + mult1[..., None, None] * diff[..., :, None]
+             * diff[..., None, :])
+    w = inv_psd(w_inv)
+
+    eta = hyps.eta0 + jnp.broadcast_to((n_j / sr)[:, None], (kr, sr))
+    epsilon = hyps.epsilon0 + jnp.broadcast_to(
+        (n_j / sr)[:, None, None], (kr, sr, sr))
+    alpha = hyps.alpha0 + n_j
     return H3MPosterior(alpha=alpha, eta=eta, epsilon=epsilon,
-                        niw=NIW(beta=lam, v=v, m=centers, w=w))
+                        niw=NIW(beta=lam, v=v, m=m, w=w))
 
 
 def init_gmmNew(key: jax.Array, base: H3M, kr: int, sr: int,

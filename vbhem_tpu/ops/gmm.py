@@ -42,14 +42,17 @@ def _log_gauss(x: jnp.ndarray, mean: jnp.ndarray, cov: jnp.ndarray) -> jnp.ndarr
 def fit_gmm(key: jax.Array, x: jnp.ndarray, k: int,
             weights: jnp.ndarray | None = None,
             max_iter: int = 100, tol: float = 1e-5,
-            reg: float = 1e-6) -> GMM:
+            reg: float = 1e-6, start_weighted: bool = False) -> GMM:
     """EM fit of a K-component full-covariance GMM on x [M, D].
 
     ``weights`` optionally weights each point (used by the weighted
     initializers); defaults to 1.  ``reg`` is a relative ridge added to
     covariances (the reference regularizes with 1e-10 on its fallback
     path, `vbhmm_init.m:68`; we always regularize slightly since there
-    is no try/catch under jit).
+    is no try/catch under jit).  ``start_weighted`` draws the randSample
+    start means proportionally to ``weights`` (without replacement) —
+    used when x carries masked-out points that must not seed a
+    component (e.g. the per-cluster pools of `vbhemhmm_init.m:874-1038`).
     """
     m, d = x.shape
     dtype = x.dtype
@@ -57,8 +60,13 @@ def fit_gmm(key: jax.Array, x: jnp.ndarray, k: int,
     w_sum = jnp.sum(w_pt)
 
     # randSample start: K distinct random points as means.
-    perm = jax.random.permutation(key, m)
-    mean0 = x[perm[:k]]
+    if start_weighted:
+        idx = jax.random.choice(key, m, (k,), replace=False,
+                                p=w_pt / w_sum)
+        mean0 = x[idx]
+    else:
+        perm = jax.random.permutation(key, m)
+        mean0 = x[perm[:k]]
     xm = jnp.sum(w_pt[:, None] * x, 0) / w_sum
     xc = x - xm
     data_cov = (xc.T * w_pt) @ xc / w_sum
