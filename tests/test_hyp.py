@@ -181,3 +181,30 @@ def test_optimize_hyps_joint_matches_batched():
                                np.asarray(targets[:, 1]), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(hj.alpha0),
                                np.asarray(hb.alpha0), rtol=1e-3)
+
+
+def test_optimize_hyps_batched_tail_chunk_smaller_than_pad():
+    """Regression: a tail lane-chunk SMALLER than its pad amount used to
+    be emptied by the unpad slice (200 lanes at chunk 64 returned 192
+    results and crashed the VBEM bank hyp stage on TPU)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from vbhem_tpu import hyp as hypmod
+    from vbhem_tpu.config import HypBounds
+    from vbhem_tpu.models.vbhmm import VBHyps
+
+    specs = hypmod.vb_specs(2, HypBounds(), ("alpha0",))
+    hyps0 = VBHyps(alpha0=jnp.asarray(1.0), epsilon0=jnp.asarray(0.1),
+                   beta0=jnp.asarray(1.0), v0=jnp.asarray(5.0),
+                   m0=jnp.zeros((2,)), w0=jnp.ones((2,)))
+    # 10 lanes, chunk 8 -> tail chunk of 2 with pad 6 > 2
+    targets = jnp.asarray(np.linspace(0.5, 3.0, 10))
+
+    def neg_elbo(h, t):
+        return jnp.log(h.alpha0 / t) ** 2
+
+    hb, vals, _ = hypmod.optimize_hyps_batched(
+        neg_elbo, hyps0, specs, (targets,), max_steps=50, lane_chunk=8)
+    assert np.asarray(hb.alpha0).shape == (10,)
+    np.testing.assert_allclose(np.asarray(hb.alpha0),
+                               np.asarray(targets), rtol=1e-4)

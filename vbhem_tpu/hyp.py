@@ -296,15 +296,16 @@ def optimize_hyps_batched(neg_elbo_fn, hyps0, specs, batched_args,
         outs = []
         for a in range(0, n_lanes, lane_chunk):
             sl = slice(a, min(a + lane_chunk, n_lanes))
-            # pad the tail chunk to the full chunk shape (one compile)
+            size = sl.stop - sl.start
+            # pad the tail chunk to the full chunk shape (one compile);
+            # cyclic indexing handles tails SMALLER than the pad amount
             args_c = jax.tree.map(lambda x: x[sl], batched_args)
-            pad = lane_chunk - (sl.stop - sl.start)
-            if pad:
-                args_c = jax.tree.map(
-                    lambda x: jnp.concatenate([x, x[:pad]]), args_c)
+            if size < lane_chunk:
+                wrap = jnp.arange(lane_chunk) % size
+                args_c = jax.tree.map(lambda x: x[wrap], args_c)
             out = jax.block_until_ready(fn(*args_c))
-            if pad:
-                out = jax.tree.map(lambda x: x[:-pad], out)
+            if size < lane_chunk:
+                out = jax.tree.map(lambda x: x[:size], out)
             outs.append(out)
         theta_b, vals, iters = jax.tree.map(
             lambda *x: jnp.concatenate(x, axis=0), *outs)

@@ -1313,15 +1313,16 @@ def optimize_hyps_grid_batched(base: H3M, states: VBHEMState, cells,
         outs = []
         for a in range(0, n_lanes, chunk):
             sl = slice(a, min(a + chunk, n_lanes))
+            size = sl.stop - sl.start
             args_c = jax.tree.map(lambda x: x[sl],
                                   (hyps_b, init_posts, cm, sm))
-            pad = chunk - (sl.stop - sl.start)
-            if pad:
-                args_c = jax.tree.map(
-                    lambda x: jnp.concatenate([x, x[:pad]]), args_c)
+            # cyclic pad handles tails SMALLER than the pad amount
+            if size < chunk:
+                wrap = jnp.arange(chunk) % size
+                args_c = jax.tree.map(lambda x: x[wrap], args_c)
             out = jax.block_until_ready(fn(*args_c))
-            if pad:
-                out = jax.tree.map(lambda x: x[:-pad], out)
+            if size < chunk:
+                out = jax.tree.map(lambda x: x[:size], out)
             outs.append(out)
         sts = jax.tree.map(lambda *x: jnp.concatenate(x, axis=0), *outs)
     else:
