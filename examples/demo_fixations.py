@@ -74,7 +74,8 @@ def main():
 
     if args.xls:
         # native one-pass C++ CSV loader when available, pandas
-        # otherwise (read_xls_fixations.m parity either way)
+        # otherwise (read_xls_fixations.m parity either way; legacy
+        # BIFF8 .xls falls back to the vendored utils/xls.py reader)
         from vbhem_tpu.utils.native_io import read_fixations_auto
         subjects = read_fixations_auto(args.xls)
         names = list(subjects)
@@ -84,10 +85,17 @@ def main():
         batches, labels = synth_subjects(jax.random.key(args.seed))
         names = [f"subj{i:02d}" for i in range(len(batches))]
 
-    # per-subject VBEM, model selection over S (vbdemo_face.m:21-40)
-    cfg = VBConfig(numtrials=3, learn_hyps=False, max_iter=30) \
-        if args.quick else VBConfig(numtrials=10, learn_hyps=True)
-    cfg = set_hyperparam(cfg, batches, mode="d")
+    # per-subject VBEM, model selection over S (vbdemo_face.m:21-40).
+    # With --xls we use the reference demo's exact hyperparameters:
+    # alpha0=1, mu0=image center ([320,420] face image -> (160,210)),
+    # W0=0.001, beta0=1, v0=10, epsilon0=1, learn_hyps=1, 50 restarts.
+    if args.xls and not args.quick:
+        cfg = VBConfig(alpha0=1.0, epsilon0=1.0, beta0=1.0, v0=10.0,
+                       w0=0.001, mu0=(160.0, 210.0), learn_hyps=True)
+    else:
+        cfg = VBConfig(numtrials=3, learn_hyps=False, max_iter=30) \
+            if args.quick else VBConfig(numtrials=10, learn_hyps=True)
+        cfg = set_hyperparam(cfg, batches, mode="d")
     results = []
     for i, b in enumerate(batches):
         s_grid = [1, 2] if args.quick else [1, 2, 3]
@@ -99,21 +107,40 @@ def main():
         fig = plots.plot_vbhmm(res, batch=b, title=names[i])
         fig.savefig(os.path.join(args.out, f"{names[i]}.png"), dpi=80)
 
-    # VBHEM clustering over K (vbdemo_face.m:46-67)
-    # alpha0=1e6 keeps weakly-evidenced clusters alive, as in the
-    # paper's synthetic experiment (exprmt1_demo.m:72)
-    vb_cfg = VBHEMConfig(alpha0=1e6, m0=cfg.mu0, w0=cfg.w0,
-                         trials=3 if args.quick else 10,
-                         nv=50, tau=10,
-                         initmode="baseem" if args.quick else "auto",
-                         learn_hyps=False)
+    # VBHEM clustering over the (K, S) grid (vbdemo_face.m:46-67).
+    # With --xls: the reference demo's exact settings — K=1:5 x S=1:3,
+    # wtkmeans init, Nv=10, tau=5, trials=50, alpha0=eta0=epsilon0=
+    # lambda0=1, v0=10, W0=0.001, m0=image center, learn_hyps on
+    # (the vbhemopt default, vbhem_h3m_cluster.m:188).
+    if args.xls and not args.quick:
+        vb_cfg = VBHEMConfig(alpha0=1.0, eta0=1.0, epsilon0=1.0,
+                             lambda0=1.0, v0=10.0, w0=0.001,
+                             m0=(160.0, 210.0), trials=50, nv=10, tau=5,
+                             initmode="wtkmeans")
+        k_grid, s_grid = [1, 2, 3, 4, 5], [1, 2, 3]
+    else:
+        # alpha0=1e6 keeps weakly-evidenced clusters alive, as in the
+        # paper's synthetic experiment (exprmt1_demo.m:72)
+        vb_cfg = VBHEMConfig(alpha0=1e6, m0=cfg.mu0, w0=cfg.w0,
+                             trials=3 if args.quick else 10,
+                             nv=50, tau=10,
+                             initmode="baseem" if args.quick else "auto",
+                             learn_hyps=False)
+        k_grid = [1, 2] if args.quick else [1, 2, 3, 4, 5]
+        s_grid = 2 if args.quick else 3
     base = vbhem.h3m_from_results(results)
-    k_grid = [1, 2] if args.quick else [1, 2, 3, 4, 5]
-    res, info = vbhem.cluster(jax.random.key(args.seed + 1001), base,
-                              k_grid, 2 if args.quick else 3, vb_cfg)
-    res = vbhem.remove_empty_clusters(res)
+    # single-program padded sweep: ONE compile for the whole grid
+    # instead of a per-(K,S,initmode) recompile
+    res, info = vbhem.cluster_batched(jax.random.key(args.seed + 1001),
+                                      base, k_grid, s_grid, vb_cfg)
+    # full vbh3m_remove_empty semantics: cluster pruning + per-cluster
+    # state pruning + standardize (vbdemo_face.m:67)
+    res, group_hmms = vbhem.vbh3m_remove_empty(res)
     print("selected K =", info["model_best_k"],
-          "| groups:", res.groups)
+          "selected S =", info.get("model_best_s"),
+          "| groups:", res.groups,
+          "| states/cluster after prune:",
+          [int(h.model.prior.shape[0]) for h in group_hmms])
     if labels is not None:
         from vbhem_tpu.utils.metrics import rand_index
         ri = rand_index(np.asarray(res.label), labels)[0]
@@ -123,7 +150,8 @@ def main():
     fig.savefig(os.path.join(args.out, "clusters.png"), dpi=80)
     import matplotlib.pyplot as plt
     fig2, ax = plt.subplots(figsize=(5, 3.5))
-    plots.plot_model_selection(ax, info["model_ll"][:, 0],
+    # per-K best over the S axis (vbdemo_face.m:78 plots model_LL vs K)
+    plots.plot_model_selection(ax, np.max(info["model_ll"], axis=1),
                                info["model_k"])
     fig2.savefig(os.path.join(args.out, "model_selection.png"), dpi=80)
     print("plots written to", args.out)

@@ -361,3 +361,25 @@ def test_init_random_niw_conversion_oracle(base, vbhem_cfg):
                                    float(hyps.eta0) + n_j / sr, rtol=1e-10)
     # every cluster non-empty by construction
     assert len(np.unique(labels)) == kr
+
+
+def test_vbh3m_remove_empty_full_semantics(base, vbhem_cfg):
+    """`vbh3m_remove_empty.m:15-83` parity: cluster pruning PLUS
+    per-cluster state pruning (thresh 1e-3) PLUS standardize of each
+    pruned HMM ('f': first state = start of the most-likely greedy
+    path)."""
+    st = vbhem.select_best_trial(
+        vbhem.fit_single_ks(jax.random.key(3), base, 4, 3, vbhem_cfg))
+    res = vbhem.finalize(st)
+    pruned, hmms = vbhem.vbh3m_remove_empty(res)
+    assert len(hmms) == pruned.nj.shape[-1]
+    for j, r in enumerate(hmms):
+        counts = np.asarray(r.counts)
+        # every surviving state has soft count >= 1e-3
+        assert np.all(counts >= 1e-3)
+        prior = np.asarray(r.model.prior)
+        trans = np.asarray(r.model.trans)
+        np.testing.assert_allclose(prior.sum(), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(trans.sum(-1), 1.0, rtol=1e-6)
+        # standardize 'f': state 0 is the most probable initial state
+        assert int(np.argmax(prior)) == 0

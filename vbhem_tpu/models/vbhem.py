@@ -981,6 +981,41 @@ def remove_empty_clusters(res: VBHEMResult, cluster_thresh: float = 1.0,
         trans_counts=res.trans_counts[perm])
 
 
+def vbh3m_remove_empty(res: VBHEMResult, cluster_thresh: float = 1.0,
+                       state_thresh: float = 1e-3,
+                       sortclusters: str = "f"):
+    """Full `vbh3m_remove_empty.m` semantics: (1) drop clusters with
+    Nj < cluster_thresh and renormalize/relabel (`:15-59`,
+    :func:`remove_empty_clusters`); (2) prune each surviving cluster
+    HMM's states with soft count < state_thresh (`:63-76`, the
+    reference's ``vbhmm_remove_empty(hmm, 0, 1e-3)``); (3) standardize
+    each pruned HMM's state order (`:80-83`).
+
+    Returns ``(cluster_pruned_result, hmm_list)`` where ``hmm_list`` is
+    the reference's ``h3mo.hmm`` — per-cluster state-pruned,
+    standardized :class:`VBHMMResult`s (ragged state counts live on the
+    host; the dense pytree keeps the cluster-pruned grid)."""
+    from ..containers import HMMPosterior, VBHMMResult as VBR
+    from . import vbhmm as vbhmm_mod
+    res = remove_empty_clusters(res, cluster_thresh=cluster_thresh,
+                                state_thresh=state_thresh)
+    hmms = []
+    for j in range(res.post.alpha.shape[-1]):
+        post_j = HMMPosterior(
+            alpha=res.post.eta[j], epsilon=res.post.epsilon[j],
+            niw=NIW(beta=res.post.niw.beta[j], v=res.post.niw.v[j],
+                    m=res.post.niw.m[j], w=res.post.niw.w[j]))
+        sr = post_j.alpha.shape[-1]
+        r_j = VBR(post=post_j, model=post_j.to_point(), ll=res.ll,
+                  gamma=jnp.zeros((1, 1, sr), res.post.eta.dtype),
+                  counts_n1=res.counts_n1[j], counts=res.counts[j],
+                  trans_counts=res.trans_counts[j],
+                  state_mask=jnp.ones((sr,), bool))
+        r_j, _, _ = vbhmm_mod.remove_empty(r_j, thresh=state_thresh)
+        hmms.append(vbhmm_mod.standardize(r_j, sortclusters))
+    return res, hmms
+
+
 # ---------------------------------------------------------------------------
 # Single-program padded (K,S) sweep (SURVEY.md section 7.1: the grid as a
 # flat batch of masked cells — ONE compile for the whole model-selection
