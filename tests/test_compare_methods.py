@@ -323,3 +323,41 @@ def test_vhem_manova_moments(bank):
     assert evs.min() > -1e-6, evs.min()
     # weights normalized
     np.testing.assert_allclose(stats["weights"].sum(), 1.0, rtol=1e-9)
+
+
+def test_vhem_gmm_init_ladder_mode(bank):
+    """'gmm' initializer (`initialize_hem_h3m_c.m:495-593`) — the
+    NaN-retry ladder's fallback (`hem_h3m_c.m:304-320`): every
+    (cluster, state) starts from the SAME pooled Gaussian (weighted
+    moment match of the base bank at M=1), random dynamics; EM from it
+    must still converge to a finite, valid solution (it is a rescue
+    initializer, so solution QUALITY is not asserted — symmetric
+    emission starts may merge clusters, which the reference accepts
+    too: the ladder returns whatever stops NaNing)."""
+    hmms, labels = bank
+    base = vbhem.h3m_from_hmms(hmms)
+    cfg = HEMConfig(trials=8, nv=100, tau=10, initmode="gmm")
+
+    # init structure: all emissions identical = pooled Gaussian
+    h0 = vhem.init_gmm(jax.random.key(5), base, 2, 2, cfg)
+    mean = np.asarray(h0.hmm.mean)
+    assert np.allclose(mean, mean[0, 0])
+    # oracle: the pooled Gaussian is the long-run-weighted moment match
+    w = []
+    for i in range(base.omega.shape[0]):
+        p = np.asarray(base.hmm.prior)[i]
+        a = np.asarray(base.hmm.trans)[i]
+        for _ in range(50):
+            p = p @ a
+        w.append(p)
+    w = (np.asarray(w) * np.asarray(base.state_mask)).reshape(-1)
+    w = w / w.sum()
+    mu_pool = (w[:, None] * np.asarray(base.hmm.mean).reshape(-1, 2)).sum(0)
+    np.testing.assert_allclose(mean[0, 0], mu_pool, rtol=1e-4)
+
+    res = vhem.cluster(jax.random.key(6), base, 2, 2, cfg)
+    assert np.isfinite(float(res.ll))
+    om = np.asarray(res.h3m.omega)
+    np.testing.assert_allclose(om.sum(), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res.h3m.hmm.trans).sum(-1), 1.0, rtol=1e-5)

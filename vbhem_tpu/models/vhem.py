@@ -381,6 +381,52 @@ def _init_from_indices(base: H3M, idx: jnp.ndarray, sr: int,
                state_mask=jnp.ones((kr, sr), bool))
 
 
+def init_gmm(key: jax.Array, base: H3M, kr: int, sr: int,
+             config: HEMConfig) -> H3M:
+    """'gmm' (`initialize_hem_h3m_c.m:495-593`): pool ALL base emission
+    Gaussians weighted by their long-run state probabilities (p A^50,
+    `:533-545`), reduce them with mixture-hierarchies EM to the
+    per-state emission mixture size M, and give EVERY (cluster, state)
+    that same reduced emission; prior/transitions/omega random.  This is
+    the initializer the reference's NaN-retry ladder switches to
+    (`hem_h3m_c.m:304-320`).
+
+    In this toolbox emissions are single Gaussians (M=1,
+    `vhem_cluster.m:160`), so the reduced emission is the ONE pooled
+    Gaussian.  Design delta: the reference MATLAB errors on full
+    covariances (`:496-498`, a limitation of its GMM struct codepath);
+    the math is covariance-type agnostic, so this implementation
+    supports both."""
+    from ..ops.gmm import mix_hier_em
+    dtype = base.hmm.mean.dtype
+    kb, sb_max = base.state_mask.shape
+    d = base.hmm.mean.shape[-1]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    # long-run state weights p A^50 per base HMM (`:538-541`)
+    def powiter(p_a):
+        p, a = p_a
+        return jax.lax.fori_loop(0, 50, lambda _, q: q @ a, p)
+    p_inf = jax.vmap(powiter)((base.hmm.prior, base.hmm.trans))  # [Kb,Sb]
+    weights = (p_inf * base.state_mask).reshape(-1)
+    weights = weights / jnp.sum(weights)
+
+    red, _ = mix_hier_em(k1, base.hmm.mean.reshape(kb * sb_max, d),
+                         base.hmm.cov.reshape(kb * sb_max, d, d),
+                         weights, 1, nv=config.nv)
+    prior = jax.random.uniform(k2, (kr, sr), dtype)
+    prior = prior / jnp.sum(prior, -1, keepdims=True)
+    trans = jax.random.uniform(k3, (kr, sr, sr), dtype)
+    trans = trans / jnp.sum(trans, -1, keepdims=True)
+    omega = jax.random.uniform(k4, (kr,), dtype)
+    omega = omega / jnp.sum(omega)
+    return H3M(omega=omega,
+               hmm=HMM(prior=prior, trans=trans,
+                       mean=jnp.broadcast_to(red.mean[0], (kr, sr, d)),
+                       cov=jnp.broadcast_to(red.cov[0], (kr, sr, d, d))),
+               state_mask=jnp.ones((kr, sr), bool))
+
+
 def init_highp(key: jax.Array, base: H3M, kr: int, sr: int,
                config: HEMConfig) -> H3M:
     """'highp': the Kr highest-weight base HMMs as centers, uniform
@@ -405,7 +451,8 @@ def init_trick(key: jax.Array, base: H3M, kr: int, sr: int,
 
 _INITIALIZERS = {"baseem": init_baseem, "base": init_base_subset,
                  "gmmNew": init_gmmNew, "gmmNew2": init_gmmNew2,
-                 "highp": init_highp, "trick": init_trick}
+                 "gmm": init_gmm, "highp": init_highp,
+                 "trick": init_trick}
 
 # 'auto' tries these and keeps the best solution (`vhem_cluster.m:210-233`)
 _AUTO_MODES = ("baseem", "gmmNew", "gmmNew2")
@@ -470,7 +517,7 @@ def cluster(key: jax.Array, base: H3M, kr: int, sr: int,
 
     NaN-retry ladder (`hem_h3m_c.m:304-320`): if every restart of a
     mode is unstable (ll = -inf), redo with fresh keys up to 5 times,
-    then switch the initializer to 'gmmNew' for up to 5 more; a model
+    then switch the initializer to 'gmm' for up to 5 more; a model
     that still failed is returned with ``given_up`` semantics
     (ll = -inf)."""
     import numpy as np
@@ -492,7 +539,9 @@ def cluster(key: jax.Array, base: H3M, kr: int, sr: int,
         redo = 0
         while not np.isfinite(float(st.ll)) and redo < 10:
             redo += 1
-            use_mode = mode if redo <= 5 else "gmmNew"
+            # the reference ladder switches to 'gmm' after 5 redos
+            # (`hem_h3m_c.m:304-320`)
+            use_mode = mode if redo <= 5 else "gmm"
             st = select_best_trial(fit_single_ks(
                 jax.random.fold_in(mode_key, 1000 + redo), base, kr, sr,
                 config, use_mode))
