@@ -2,9 +2,13 @@
 checkpoint directory WITHOUT recomputing anything, and emit a compact
 tracked JSON artifact: recovery statistics per method
 (`evaluate_vbhem_jounarl.m:450-655` aggregation) plus per-stage
-wall-clock statistics (the BASELINE.md "wall-clock to ELBO convergence"
-metric — the VBHEM stage elapsed time IS the time to ELBO-converged
-grid selection).
+wall-clock statistics.  The VBHEM stage's "elapsed" is the (K,S) grid
+sweep only (the BASELINE.md wall-clock-to-ELBO-convergence metric);
+its extra DIC pass is reported separately as "elapsed_with_dic" when
+present (older checkpoints folded both into "elapsed").
+
+Repeats checkpointed at different scales (r*_meta.json sidecars) are
+segregated into per-config groups rather than pooled.
 
 Usage:
   python examples/aggregate_run.py syn10 --repeats 10 --out RESULTS_syn10.json
@@ -35,17 +39,21 @@ def main():
     # stage wall-clocks from the per-stage checkpoints ("elapsed" field)
     stages = {}
     for stage in ("vbhem", "vhem", "ccfd", "ppk"):
-        ts = []
+        ts, ts_dic = [], []
         for r in range(args.repeats):
-            st = runner._load(args.outdir, r, stage)
+            st = runner.load_checkpoint(args.outdir, r, stage)
             if st is not None and "elapsed" in st:
                 ts.append(float(st["elapsed"]))
+                if "elapsed_with_dic" in st:
+                    ts_dic.append(float(st["elapsed_with_dic"]))
         if ts:
             stages[stage] = {"mean_s": float(np.mean(ts)),
                              "min_s": float(np.min(ts)),
                              "max_s": float(np.max(ts)), "n": len(ts)}
+            if ts_dic:
+                stages[stage]["mean_s_with_dic"] = float(np.mean(ts_dic))
     done = [r for r in range(args.repeats)
-            if runner._load(args.outdir, r, "vbhem") is not None]
+            if runner.load_checkpoint(args.outdir, r, "vbhem") is not None]
     out = {"outdir": args.outdir, "repeats_with_vbhem": done,
            "methods": summary, "stage_wall_clock": stages}
     text = json.dumps(out, indent=2)

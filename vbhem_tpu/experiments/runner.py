@@ -45,6 +45,52 @@ def _load(outdir: str, repeat: int, stage: str):
     return None
 
 
+def load_checkpoint(outdir: str, repeat: int, stage: str):
+    """Public checkpoint loader (one pickle per (repeat, stage));
+    returns None when that stage has not completed."""
+    return _load(outdir, repeat, stage)
+
+
+def _meta_path(outdir: str, repeat: int) -> str:
+    return os.path.join(outdir, f"r{repeat:03d}_meta.json")
+
+
+def _scale_meta(n_per_cluster, n_seqs, t, k_grid, s_grid, dtype) -> Dict:
+    """Run-scale descriptor written alongside each repeat's checkpoints
+    so aggregates can't silently pool repeats run at different scales.
+    ``dtype`` is informational (cross-precision pooling of the SAME
+    scale is an intentional consistency check); the scale keys are the
+    grouping config."""
+    return {"n_per_cluster": int(n_per_cluster), "n_seqs": int(n_seqs),
+            "t": int(t), "k_grid": [int(k) for k in k_grid],
+            "s_grid": [int(s) for s in s_grid], "dtype": dtype}
+
+
+def _write_meta(outdir: str, repeat: int, meta: Dict) -> None:
+    p = _meta_path(outdir, repeat)
+    if os.path.exists(p):
+        with open(p) as f:
+            old = json.load(f)
+        old_scale = {k: v for k, v in old.items() if k != "dtype"}
+        new_scale = {k: v for k, v in meta.items() if k != "dtype"}
+        if old_scale != new_scale:
+            raise ValueError(
+                f"repeat {repeat} in {outdir} was checkpointed at a "
+                f"different scale ({old_scale} != {new_scale}); refusing "
+                f"to mix — use a fresh outdir")
+        return
+    with open(p, "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def _load_meta(outdir: str, repeat: int) -> Optional[Dict]:
+    p = _meta_path(outdir, repeat)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
 def _save(outdir: str, repeat: int, stage: str, obj) -> None:
     p = _ckpt_path(outdir, repeat, stage)
     tmp = p + ".tmp"
@@ -66,6 +112,9 @@ def run_repeat(repeat: int, outdir: str,
     key = jax.random.key(repeat)
     scores: Dict[str, syn.RecoveryScore] = {}
     timings: Dict[str, float] = {}
+    _write_meta(outdir, repeat,
+                _scale_meta(n_per_cluster, n_seqs, t, k_grid, s_grid,
+                            dtype))
 
     def log(msg):
         if verbose:
@@ -126,6 +175,7 @@ def run_repeat(repeat: int, outdir: str,
                 res, info, score = syn.run_vbhem(
                     jax.random.fold_in(key, 1), results, labels,
                     k_grid=k_grid, s_grid=s_grid, config=vbhem_config)
+                grid_elapsed = time.time() - t0  # ELBO-converged grid
                 base = syn.vbhem.h3m_from_results(
                     results, use_post=(vbhem_config or
                                        syn.default_vbhem_config()).use_post)
@@ -133,7 +183,11 @@ def run_repeat(repeat: int, outdir: str,
                 dic_out = syn.run_vbhem_dic(info, base, cfg.tau, labels)
                 st = {"score": score, "dic_score": dic_out["score"],
                       "dic": dic_out["dic"], "model_ll": info["model_ll"],
-                      "elapsed": time.time() - t0}
+                      # grid sweep only (the BASELINE.md wall-clock-to-
+                      # ELBO-convergence metric); the extra DIC pass is
+                      # timed separately
+                      "elapsed": grid_elapsed,
+                      "elapsed_with_dic": time.time() - t0}
                 _save(outdir, repeat, "vbhem", st)
             scores["vbhem"] = st["score"]
             scores["vbhem_dic"] = st["dic_score"]
@@ -258,41 +312,74 @@ def aggregate_from_checkpoints(outdir: str, n_repeats: int = 10) -> Dict:
     """Aggregate whatever (repeat, stage) checkpoints exist in ``outdir``
     WITHOUT running anything — for summarizing a partially completed
     multi-worker run.  Repeats with no completed method stages are
-    skipped."""
-    per_repeat = []
+    skipped.
+
+    Repeats checkpointed at DIFFERENT scales (per their ``r*_meta.json``
+    sidecars) are SEGREGATED: the result then maps each scale config to
+    its own summary instead of silently pooling them into one recovery
+    statistic.  Repeats with no meta sidecar (pre-meta snapshots) group
+    under "unknown".  Mixed dtypes within one scale are pooled (an
+    intentional cross-precision consistency check) but reported."""
+    groups: Dict[str, Dict] = {}
     for r in range(n_repeats):
-        scores, dunn = {}, {}
-        st = _load(outdir, r, "vbhem")
-        if st is not None:
-            scores["vbhem"] = st["score"]
-            scores["vbhem_dic"] = st["dic_score"]
-        st = _load(outdir, r, "vhem")
-        if st is not None:
-            scores["vhem_aic"] = st["aic_score"]
-            scores["vhem_bic"] = st["bic_score"]
-        st = _load(outdir, r, "ccfd")
-        if st is not None:
-            scores["ccfd"] = st["score"]
-        st = _load(outdir, r, "ppk")
-        if st is not None:
-            scores["ppk_aic"] = st["aic_score"]
-            scores["ppk_bic"] = st["bic_score"]
-        dmat = _load(outdir, r, "dist")
-        if dmat is not None:
-            from ..utils.metrics import dunn_index
-            for m, sc in scores.items():
-                lab = getattr(sc, "labels", None)
-                if lab is None:
-                    continue
-                lab = np.asarray(lab)
-                if 1 < len(np.unique(lab)) < len(lab):
-                    d = float(dunn_index(dmat, lab))
-                    if np.isfinite(d):
-                        dunn[m] = d
-        if scores:
-            per_repeat.append({"scores": scores, "timings": {},
-                               "dunn": dunn})
-    return aggregate(per_repeat) if per_repeat else {}
+        scores_r = _collect_repeat_scores(outdir, r)
+        if not scores_r:
+            continue
+        meta = _load_meta(outdir, r)
+        key = ("unknown" if meta is None else json.dumps(
+            {k: v for k, v in meta.items() if k != "dtype"},
+            sort_keys=True))
+        g = groups.setdefault(key, {"per_repeat": [], "repeats": [],
+                                    "dtypes": {}})
+        g["per_repeat"].append(scores_r)
+        g["repeats"].append(r)
+        if meta is not None:
+            g["dtypes"][str(r)] = meta.get("dtype")
+    if not groups:
+        return {}
+    if len(groups) == 1:
+        return aggregate(next(iter(groups.values()))["per_repeat"])
+    return {"mixed_configs": True,
+            "groups": {k: {"repeats": g["repeats"],
+                           "dtypes": g["dtypes"],
+                           "summary": aggregate(g["per_repeat"])}
+                       for k, g in groups.items()}}
+
+
+def _collect_repeat_scores(outdir: str, r: int) -> Optional[Dict]:
+    """Scores + Dunn for one repeat from its stage checkpoints, or None
+    when no method stage has completed."""
+    scores, dunn = {}, {}
+    st = _load(outdir, r, "vbhem")
+    if st is not None:
+        scores["vbhem"] = st["score"]
+        scores["vbhem_dic"] = st["dic_score"]
+    st = _load(outdir, r, "vhem")
+    if st is not None:
+        scores["vhem_aic"] = st["aic_score"]
+        scores["vhem_bic"] = st["bic_score"]
+    st = _load(outdir, r, "ccfd")
+    if st is not None:
+        scores["ccfd"] = st["score"]
+    st = _load(outdir, r, "ppk")
+    if st is not None:
+        scores["ppk_aic"] = st["aic_score"]
+        scores["ppk_bic"] = st["bic_score"]
+    dmat = _load(outdir, r, "dist")
+    if dmat is not None:
+        from ..utils.metrics import dunn_index
+        for m, sc in scores.items():
+            lab = getattr(sc, "labels", None)
+            if lab is None:
+                continue
+            lab = np.asarray(lab)
+            if 1 < len(np.unique(lab)) < len(lab):
+                d = float(dunn_index(dmat, lab))
+                if np.isfinite(d):
+                    dunn[m] = d
+    if not scores:
+        return None
+    return {"scores": scores, "timings": {}, "dunn": dunn}
 
 
 def run_experiment(outdir: str, n_repeats: int = 10,
