@@ -212,3 +212,60 @@ def test_read_legacy_xls_demodata():
         assert b.x.shape[-1] == 2
         assert 1 <= int(np.asarray(b.lengths).min())
         assert int(np.asarray(b.lengths).max()) <= b.x.shape[1]
+
+
+def test_weighted_kmeans_energy_matches_matlab_oracle():
+    """`my_weighted_kmeans.m` parity: the Hartigan-style energy
+    adjustment (member d2*wc/(wc-wi), non-member d2*wc/(wc+wi),
+    `:36-56,87-100`) against a direct NumPy port of the MATLAB loop."""
+    from vbhem_tpu.ops.kmeans import weighted_kmeans_energy
+
+    rng = np.random.default_rng(4)
+    m, d, k = 40, 2, 3
+    x = np.concatenate([rng.normal(size=(m // 2, d)),
+                        rng.normal(size=(m // 2, d)) + 4.0])
+    w = rng.uniform(0.2, 2.0, size=m)
+    init_c = x[rng.choice(m, k, replace=False)]
+
+    # ---- NumPy port of my_weighted_kmeans.m ----
+    def centroids(cl):
+        cen = np.zeros((k, d))
+        wc = np.zeros(k)
+        for j in range(k):
+            mem = cl == j
+            wc[j] = w[mem].sum()
+            if wc[j] > 0:
+                cen[j] = (w[mem, None] * x[mem]).sum(0) / wc[j]
+        return cen, wc
+
+    def energies(cl, cen, wc):
+        d2 = ((x[:, None] - cen[None]) ** 2).sum(-1)
+        f = np.zeros(m)
+        for j in range(k):
+            mem = cl == j
+            with np.errstate(divide="ignore", invalid="ignore"):
+                f[mem] = d2[mem, j] * wc[j] / (wc[j] - w[mem])
+        total = np.nansum(np.where(np.isfinite(f), w * f, 0.0))
+        return d2, f, total
+
+    cl = np.argmin(((x[:, None] - init_c[None]) ** 2).sum(-1), -1)
+    cen, wc = centroids(cl)
+    d2, f, old_e = energies(cl, cen, wc)
+    for _ in range(100):
+        fmat = np.zeros((m, k))
+        for j in range(k):
+            mem = cl == j
+            fmat[mem, j] = f[mem]
+            non = ~mem
+            fmat[non, j] = d2[non, j] * wc[j] / (wc[j] + w[non])
+        cl = np.argmin(fmat, -1)
+        cen, wc = centroids(cl)
+        d2, f, new_e = energies(cl, cen, wc)
+        if abs(new_e - old_e) < 1e-6:
+            break
+        old_e = new_e
+
+    got_cl, got_cen = weighted_kmeans_energy(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(init_c))
+    np.testing.assert_array_equal(np.asarray(got_cl), cl)
+    np.testing.assert_allclose(np.asarray(got_cen), cen, rtol=1e-10)

@@ -527,18 +527,24 @@ def init_wtkmeans(key: jax.Array, base: H3M, kr: int, sr: int,
     means_flat = base.hmm.mean.reshape(kb * sb_max, d)
 
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    assign, _ = kmeans(k1, means_flat, kr, weights=weights)
+    valid = base.state_mask.reshape(-1).astype(dtype)
+    # plain seeded k-means provides the start (`:330-333` rng(wtseed)
+    # kmeans), then the energy-adjusted weighted k-means of
+    # `my_weighted_kmeans.m` refines the assignment
+    from ..ops.kmeans import weighted_kmeans_energy
+    _, init_c = kmeans(k1, means_flat, kr, weights=valid)
+    assign, _ = weighted_kmeans_energy(means_flat, weights, init_c)
 
-    # per-cluster k-means into Sr centers; empty clusters fall back to the
-    # global centers (reference copies the first nonempty cluster).
-    _, global_centers = kmeans(k3, means_flat, sr, weights=weights)
+    # per-cluster k-means into Sr centers (the reference runs PLAIN
+    # kmeans on the member means, `:358-366`); empty clusters fall back
+    # to the global centers (reference copies the first nonempty one).
+    _, global_centers = kmeans(k3, means_flat, sr, weights=valid)
 
     def per_cluster(j, key_j):
-        in_c = (assign == j) & (weights > 0)
-        w_c = jnp.where(in_c, weights, 0.0)
-        has = jnp.sum(w_c) > 0
+        in_c = ((assign == j) & (valid > 0)).astype(dtype)
+        has = jnp.sum(in_c) > 0
         _, centers = kmeans(key_j, means_flat, sr,
-                            weights=jnp.where(has, w_c, weights))
+                            weights=jnp.where(has, in_c, valid))
         return jnp.where(has, centers, global_centers)
 
     keys = jax.random.split(k2, kr)
