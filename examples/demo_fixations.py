@@ -62,6 +62,9 @@ def synth_subjects(key, n_per_group=5, n_trials=12, t=12):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--xls", default=None, help="fixation table (xls/csv)")
+    ap.add_argument("--image", default=None,
+                    help="background image for ROI plots (the reference "
+                         "demo uses demo/ave_face120.png)")
     ap.add_argument("--out", default="demo_out", help="output dir")
     ap.add_argument("--seed", type=int, default=100)
     ap.add_argument("--cpu", action="store_true", help="force CPU")
@@ -71,6 +74,10 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.out, exist_ok=True)
+    bg = None
+    if args.image:
+        import matplotlib.image as mpimg
+        bg = mpimg.imread(args.image)
 
     if args.xls:
         # native one-pass C++ CSV loader when available, pandas
@@ -104,7 +111,7 @@ def main():
         print(f"{names[i]}: best S={info['model_best_k']} "
               f"LL={float(res.ll):.1f}")
         results.append(res)
-        fig = plots.plot_vbhmm(res, batch=b, title=names[i])
+        fig = plots.plot_vbhmm(res, batch=b, image=bg, title=names[i])
         fig.savefig(os.path.join(args.out, f"{names[i]}.png"), dpi=80)
 
     # VBHEM clustering over the (K, S) grid (vbdemo_face.m:46-67).
@@ -146,7 +153,7 @@ def main():
         ri = rand_index(np.asarray(res.label), labels)[0]
         print("adjusted Rand index vs ground truth:", round(ri, 3))
 
-    fig = plots.plot_vbhem_clusters(res)
+    fig = plots.plot_vbhem_clusters(res, image=bg)
     fig.savefig(os.path.join(args.out, "clusters.png"), dpi=80)
     import matplotlib.pyplot as plt
     fig2, ax = plt.subplots(figsize=(5, 3.5))
