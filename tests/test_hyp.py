@@ -208,3 +208,34 @@ def test_optimize_hyps_batched_tail_chunk_smaller_than_pad():
     assert np.asarray(hb.alpha0).shape == (10,)
     np.testing.assert_allclose(np.asarray(hb.alpha0),
                                np.asarray(targets), rtol=1e-4)
+
+
+def test_optimize_hyps_joint_chunked_matches_unchunked():
+    """Chunked joint evaluation (zero-weight cyclic tail padding) must
+    be exact: same optimum as the single-program evaluation, including
+    a tail chunk smaller than its pad."""
+    import jax.numpy as jnp
+    import numpy as np
+    from vbhem_tpu import hyp as hypmod
+    from vbhem_tpu.config import HypBounds
+    from vbhem_tpu.models.vbhmm import VBHyps
+
+    specs = hypmod.vb_specs(2, HypBounds(), ("alpha0",))
+    hyps0 = VBHyps(alpha0=jnp.asarray(1.0), epsilon0=jnp.asarray(0.1),
+                   beta0=jnp.asarray(1.0), v0=jnp.asarray(5.0),
+                   m0=jnp.zeros((2,)), w0=jnp.ones((2,)))
+    targets = jnp.asarray([0.5, 2.0, 3.0, 0.8, 1.7])  # 5 lanes, chunk 2
+
+    def neg_elbo(h, t):
+        return jnp.log(h.alpha0 / t) ** 2
+
+    h_full, v_full, _ = hypmod.optimize_hyps_joint(
+        neg_elbo, hyps0, specs, (targets,), max_evals=200)
+    h_chunk, v_chunk, _ = hypmod.optimize_hyps_joint(
+        neg_elbo, hyps0, specs, (targets,), max_evals=200, lane_chunk=2)
+    np.testing.assert_allclose(np.asarray(h_chunk.alpha0),
+                               np.asarray(targets), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(h_chunk.alpha0),
+                               np.asarray(h_full.alpha0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_chunk), np.asarray(v_full),
+                               atol=1e-10)

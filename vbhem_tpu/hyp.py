@@ -347,7 +347,8 @@ def unique_ll(lls: np.ndarray, min_diff: float = 1e-5) -> np.ndarray:
 
 
 def optimize_hyps_joint(neg_elbo_fn, hyps0, specs, batched_args,
-                        max_evals: int = 60):
+                        max_evals: int = 60,
+                        lane_chunk: Optional[int] = None):
     """Host-outer-loop batched hyp optimization: ONE scipy L-BFGS-B over
     the concatenation of every lane's transformed hyp vector, with the
     objective = sum of per-lane -ELBOs evaluated by ONE vmapped jitted
@@ -378,28 +379,61 @@ def optimize_hyps_joint(neg_elbo_fn, hyps0, specs, batched_args,
         v = neg_elbo_fn(hyps, *args)
         return jnp.where(jnp.isfinite(v), v, jnp.asarray(1e10, v.dtype))
 
+    dtype = jax.tree.leaves(hyps0)[0].dtype
+
+    # Bound the per-dispatch lane count: one folded program over
+    # hundreds of while_loop-EM lanes takes >10 min to compile through
+    # the remote-chip tunnel and can crash the TPU runtime (the same
+    # consideration as the grid sweep's lane chunking).  The objective
+    # is a sum over lanes, so chunked evaluation with zero weights on
+    # cyclic tail padding is exact.
+    import os as _os
+    if lane_chunk is None:
+        lane_chunk = n_lanes
+        if jax.default_backend() in ("tpu", "gpu"):
+            lane_chunk = int(_os.environ.get("VBHEM_TPU_HYP_LANE_CHUNK",
+                                             64))
+    lane_chunk = min(lane_chunk, n_lanes)
+
     @jax.jit
-    def val_and_grad(thetas):
+    def val_and_grad_chunk(thetas_c, w_c, *args_c):
         def total(th):
-            vals = jax.vmap(per_lane)(th, *batched_args)
-            return jnp.sum(vals)
-        return jax.value_and_grad(total)(thetas)
+            vals = jax.vmap(per_lane)(th, *args_c)
+            return jnp.sum(w_c * vals)
+        return jax.value_and_grad(total)(thetas_c)
+
+    def eval_chunks(thetas):
+        v_tot = 0.0
+        g_out = np.zeros((n_lanes, p), np.float64)
+        for a in range(0, n_lanes, lane_chunk):
+            sl = slice(a, min(a + lane_chunk, n_lanes))
+            size = sl.stop - sl.start
+            idx = jnp.arange(lane_chunk) % size + a  # cyclic tail pad
+            w = jnp.asarray(np.arange(lane_chunk) < size, dtype)
+            args_c = jax.tree.map(lambda x: x[idx], batched_args)
+            v, g = val_and_grad_chunk(thetas[idx], w, *args_c)
+            v_tot += float(v)
+            g_out[sl] = np.asarray(g, np.float64)[:size]
+        return v_tot, g_out
 
     def fun(x):
-        v, g = val_and_grad(jnp.asarray(x.reshape(n_lanes, p),
-                                        jax.tree.leaves(hyps0)[0].dtype))
-        g = np.asarray(g, np.float64).ravel()
-        v = float(v)
+        v, g = eval_chunks(jnp.asarray(x.reshape(n_lanes, p), dtype))
         if not np.isfinite(v):
-            return 1e300, np.zeros_like(g)
-        return v, g
+            return 1e300, np.zeros_like(g.ravel())
+        return v, g.ravel()
 
     x0 = np.tile(theta0, n_lanes)
     res = minimize(fun, x0, jac=True, method="L-BFGS-B", bounds=bounds,
                    options={"maxfun": max_evals, "ftol": 1e-12,
                             "gtol": 1e-8})
-    thetas = jnp.asarray(res.x.reshape(n_lanes, p),
-                         jax.tree.leaves(hyps0)[0].dtype)
+    thetas = jnp.asarray(res.x.reshape(n_lanes, p), dtype)
     hyps_b = jax.vmap(lambda th: unpack(th, hyps0, specs))(thetas)
-    vals = jax.vmap(per_lane)(thetas, *batched_args)
-    return hyps_b, vals, int(res.nit)
+    vals_np = np.empty((n_lanes,), np.float64)
+    fn_vals = jax.jit(jax.vmap(per_lane))
+    for a in range(0, n_lanes, lane_chunk):
+        sl = slice(a, min(a + lane_chunk, n_lanes))
+        size = sl.stop - sl.start
+        idx = jnp.arange(lane_chunk) % size + a
+        args_c = jax.tree.map(lambda x: x[idx], batched_args)
+        vals_np[sl] = np.asarray(fn_vals(thetas[idx], *args_c))[:size]
+    return hyps_b, jnp.asarray(vals_np, dtype), int(res.nit)
