@@ -423,7 +423,16 @@ def optimize_hyps_joint(neg_elbo_fn, hyps0, specs, batched_args,
         return v, g.ravel()
 
     x0 = np.tile(theta0, n_lanes)
+    it_count = [0]
+
+    def _progress(_):
+        it_count[0] += 1
+        if _os.environ.get("VBHEM_TPU_HYP_VERBOSE", "1") != "0":
+            print(f"    joint hyp L-BFGS-B iter {it_count[0]} "
+                  f"({n_lanes} lanes, chunk {lane_chunk})", flush=True)
+
     res = minimize(fun, x0, jac=True, method="L-BFGS-B", bounds=bounds,
+                   callback=_progress,
                    options={"maxfun": max_evals, "ftol": 1e-12,
                             "gtol": 1e-8})
     thetas = jnp.asarray(res.x.reshape(n_lanes, p), dtype)
