@@ -239,3 +239,31 @@ def test_optimize_hyps_joint_chunked_matches_unchunked():
                                np.asarray(h_full.alpha0), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(v_chunk), np.asarray(v_full),
                                atol=1e-10)
+
+
+def test_degenerate_hyp_solutions_fall_back():
+    """Degenerate hyp-optimized lanes (ELBO blown up positive, shrunk
+    by >10x, or NaN) must revert to their pre-optimization solutions;
+    legitimate improvements must be kept."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vbhem_tpu import hyp as hypmod
+
+    pre_ll = np.asarray([-743e3, -743e3, -743e3, -743e3])
+    post_ll = np.asarray([-741e3,      # legit improvement -> keep
+                          +7.6e6,      # positive blow-up -> revert
+                          -30.4,       # |post| << |pre| -> revert
+                          np.nan])     # NaN -> revert
+    mask = hypmod.degenerate_mask(pre_ll, post_ll)
+    np.testing.assert_array_equal(mask, [False, True, True, True])
+
+    pre = {"ll": jnp.asarray(pre_ll), "x": jnp.arange(8.).reshape(4, 2)}
+    post = {"ll": jnp.asarray(post_ll), "x": -jnp.ones((4, 2))}
+    out, n_bad = hypmod.fallback_degenerate_lanes(
+        post, pre, pre["ll"], post["ll"])
+    assert n_bad == 3
+    np.testing.assert_allclose(np.asarray(out["ll"]),
+                               [-741e3, -743e3, -743e3, -743e3])
+    np.testing.assert_allclose(np.asarray(out["x"])[0], [-1.0, -1.0])
+    np.testing.assert_allclose(np.asarray(out["x"])[1], [2.0, 3.0])

@@ -315,6 +315,47 @@ def optimize_hyps_batched(neg_elbo_fn, hyps0, specs, batched_args,
     return hyps_b, vals, iters
 
 
+def degenerate_mask(ll_pre, ll_post) -> np.ndarray:
+    """Lanes whose hyp-optimized solution is degenerate.
+
+    The reference only WARNS when hyp optimization produces a
+    degenerate model (test `abs(LL_old./LL)>10`, `vbhmm_learn.m:567-571`
+    / `vbhem_h3m_c.m:175-180`) and keeps it anyway; with this
+    framework's stronger optimizer such solutions (bound-saturated W0
+    collapsing emission covariances, ELBO exploding to huge POSITIVE
+    values) can hijack (K,S) model selection — observed at reference
+    scale: a (K=5,S=2) cell returning ELBO +7.6e6 vs legitimate -743k.
+    Lanes matching the degenerate signature therefore FALL BACK to
+    their pre-optimization solution:
+      |post| < |pre|/10  (the reference's own warning test),
+      post > |pre|       (sign-flipped blow-up), or
+      post non-finite while pre is finite.
+    """
+    pre = np.asarray(ll_pre, np.float64)
+    post = np.asarray(ll_post, np.float64)
+    finite_pre = np.isfinite(pre)
+    bad = (~np.isfinite(post)) & finite_pre
+    with np.errstate(invalid="ignore"):
+        bad |= finite_pre & (np.abs(post) < np.abs(pre) / 10.0)
+        bad |= finite_pre & (post > np.abs(pre))
+    return bad
+
+
+def fallback_degenerate_lanes(post_states, pre_states, ll_pre, ll_post):
+    """Replace degenerate hyp-optimized lanes (leading axis) with their
+    pre-optimization states; returns (states, n_degenerate)."""
+    bad = degenerate_mask(ll_pre, ll_post)
+    if not bad.any():
+        return post_states, 0
+    badj = jnp.asarray(bad)
+
+    def pick(new, old):
+        b = badj.reshape(badj.shape + (1,) * (new.ndim - 1))
+        return jnp.where(b, old, new)
+
+    return jax.tree.map(pick, post_states, pre_states), int(bad.sum())
+
+
 def pad_lanes(idx: np.ndarray, bucket: int = 4) -> np.ndarray:
     """Pad a lane-index vector to the next multiple of ``bucket`` by
     repeating the first lane.  Duplicate lanes cost compute but keep the

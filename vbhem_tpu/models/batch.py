@@ -113,6 +113,13 @@ def learn_bank(key: jax.Array, batches: Sequence[SeqBatch], k: int,
 
         sts = jax.jit(jax.vmap(rerun))(hyps_b, lane_x, lane_len,
                                        init_posts)
+        # degenerate hyp-optimized lanes fall back to pre-opt solutions
+        pre = jax.tree.map(lambda a: a[si_idx, ti_idx], states)
+        sts, n_bad = hypmod.fallback_degenerate_lanes(
+            sts, pre, pre.ll, sts.ll)
+        if n_bad and config.verbose >= 2:
+            print(f"  [hyp] {n_bad} degenerate lane(s) reverted",
+                  flush=True)
         lane_ll = np.asarray(sts.ll)
         picks, learned = [], []
         for si in range(n_subj):

@@ -917,6 +917,12 @@ def cluster(key: jax.Array, base: H3M, k, s,
                     init_posts = jax.tree.map(lambda a: a[idx], states.post)
                     _, sts = optimize_solution_hyps_batched(
                         base, init_posts, hyps0, config)
+                    pre = jax.tree.map(lambda a: a[idx], states)
+                    sts, n_bad = hypmod.fallback_degenerate_lanes(
+                        sts, pre, pre.ll, sts.ll)
+                    if n_bad and config.verbose >= 1:
+                        print(f"  [hyp] {n_bad} degenerate lane(s) "
+                              f"reverted (K={kk},S={sv})", flush=True)
                     bi_l = int(jnp.argmax(sts.ll))
                     st_opt = jax.tree.map(lambda a: a[bi_l], sts)
                     if float(st_opt.ll) > best_ll:
@@ -1368,6 +1374,14 @@ def optimize_hyps_grid_batched(base: H3M, states: VBHEMState, cells,
         sts = jax.tree.map(lambda *x: jnp.concatenate(x, axis=0), *outs)
     else:
         sts = jax.jit(jax.vmap(rerun))(hyps_b, init_posts, cm, sm)
+    # degenerate hyp-optimized lanes fall back to their pre-opt solution
+    # (see hyp.degenerate_mask; `vbhem_h3m_c.m:175-180`)
+    pre = jax.tree.map(lambda a: a[ci_idx, tr_idx], states)
+    sts, n_bad = hypmod.fallback_degenerate_lanes(
+        sts, pre, pre.ll, sts.ll)
+    if n_bad and config.verbose >= 1:
+        print(f"  [hyp] {n_bad} degenerate hyp-optimized lane(s) "
+              f"reverted to pre-optimization solutions", flush=True)
     return sts, np.asarray([c for c, _ in lanes]), hyps_b
 
 

@@ -502,6 +502,14 @@ def learn(key: jax.Array, batch: SeqBatch, k, config: VBConfig = VBConfig(),
         init_posts = jax.tree.map(lambda a: a[idx], states.post)
         hyps_b, sts = optimize_solution_hyps_batched(
             batch, init_posts, hyps0, config)
+        # degenerate hyp-optimized lanes fall back to pre-opt solutions
+        # (`vbhmm_learn.m:567-571` warning test, made a rejection)
+        pre = jax.tree.map(lambda a: a[idx], states)
+        sts, n_bad = hypmod.fallback_degenerate_lanes(
+            sts, pre, pre.ll, sts.ll)
+        if n_bad and config.verbose >= 2:
+            print(f"  [hyp] {n_bad} degenerate lane(s) reverted",
+                  flush=True)
         best = int(jnp.argmax(sts.ll))
         st = jax.tree.map(lambda a: a[best], sts)
         info["learned_hyps"] = jax.tree.map(lambda a: a[best], hyps_b)
