@@ -183,6 +183,9 @@ def run_repeat(repeat: int, outdir: str,
                 dic_out = syn.run_vbhem_dic(info, base, cfg.tau, labels)
                 st = {"score": score, "dic_score": dic_out["score"],
                       "dic": dic_out["dic"], "model_ll": info["model_ll"],
+                      # pruned selected model (small) so checkpoints can
+                      # be RE-scored if scoring semantics evolve
+                      "result": res,
                       # grid sweep only (the BASELINE.md wall-clock-to-
                       # ELBO-convergence metric); the extra DIC pass is
                       # timed separately
@@ -288,16 +291,29 @@ def aggregate(per_repeat: List[Dict]) -> Dict:
     for m in methods:
         ss = [r["scores"][m] for r in per_repeat if m in r["scores"]]
         ks = np.array([s.best_k for s in ss])
-        svals = np.array([s.best_s for s in ss])
+
+        def s_stat(op):
+            # the reference's is_S_* are per-repeat FRACTIONS of
+            # surviving clusters (`evaluate_vbhem_jounarl.m:104-106`)
+            # when per-cluster pruned state counts are available
+            vals = []
+            for s in ss:
+                sl = getattr(s, "s_list", None)
+                if sl:
+                    vals.append(float(np.mean(op(np.asarray(sl)))))
+                else:
+                    vals.append(float(op(np.asarray(s.best_s))))
+            return float(np.mean(vals))
+
         summary[m] = {
             "rand_index_mean": float(np.mean([s.rand_index for s in ss])),
             "purity_mean": float(np.mean([s.purity for s in ss])),
             "p_k_correct": float(np.mean(ks == GT_K)),
             "p_k_over": float(np.mean(ks > GT_K)),
             "p_k_under": float(np.mean(ks < GT_K)),
-            "p_s_correct": float(np.mean(svals == GT_S)),
-            "p_s_over": float(np.mean(svals > GT_S)),
-            "p_s_under": float(np.mean(svals < GT_S)),
+            "p_s_correct": s_stat(lambda v: v == GT_S),
+            "p_s_over": s_stat(lambda v: v > GT_S),
+            "p_s_under": s_stat(lambda v: v < GT_S),
             "n_repeats": len(ss),
         }
         dunns = [r["dunn"][m] for r in per_repeat

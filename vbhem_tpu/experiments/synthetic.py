@@ -107,6 +107,11 @@ class RecoveryScore(NamedTuple):
     # hard labels of the selected model (for the Dunn index,
     # `evaluate_vbhem_jounarl.m:107-113`); None in old checkpoints
     labels: Optional[object] = None
+    # per-surviving-cluster PRUNED state counts (the reference scores
+    # S_select per cluster after vbh3m_remove_empty,
+    # `evaluate_vbhem_jounarl.m:92-105`); None in old checkpoints and
+    # for methods without per-cluster state selection
+    s_list: Optional[object] = None
 
 
 def run_vbhem(key, results, labels, k_grid=range(1, 7), s_grid=range(1, 6),
@@ -125,14 +130,18 @@ def run_vbhem(key, results, labels, k_grid=range(1, 7), s_grid=range(1, 6),
     # concatenates the three initmodes' trials
     res, info = vbhem.cluster_batched(key, base, list(k_grid),
                                       list(s_grid), config)
-    res = vbhem.remove_empty_clusters(res)
+    # the reference scores K/S/labels AFTER vbh3m_remove_empty: K =
+    # surviving clusters, S = each surviving HMM's PRUNED state count
+    # (`evaluate_vbhem_jounarl.m:92-105`), not the selected grid cell
+    res, hmm_list = vbhem.vbh3m_remove_empty(res)
     lab = np.asarray(res.label)
     ri, _, _, _ = rand_index(lab, labels)
+    s_list = [int(h.model.prior.shape[0]) for h in hmm_list]
     return res, info, RecoveryScore(rand_index=ri,
                                     purity=purity(lab, labels),
-                                    best_k=info["model_best_k"],
-                                    best_s=info["model_best_s"],
-                                    labels=lab)
+                                    best_k=len(hmm_list),
+                                    best_s=int(np.median(s_list)),
+                                    labels=lab, s_list=s_list)
 
 
 def run_vhem(key, results, labels, k: int = 2, s: int = 2,
@@ -208,10 +217,17 @@ def run_vhem_grid(key, results, labels, k_grid=range(1, 7),
         ki, si = np.unravel_index(np.argmin(grid), grid.shape)
         res = cells[(ks[ki], ss[si])]
         lab = np.asarray(res.label)
+        # reference scoring (`evaluate_vbhem_jounarl.m:470-477`):
+        # K_select = clusters with members, S_select = per nonempty
+        # cluster the count of states with emit_vcounts > 1e-3
+        sizes = np.bincount(lab, minlength=ks[ki])
+        nonempty = np.where(sizes > 0)[0]
+        ec = np.asarray(res.emit_counts)
+        s_list = [int((ec[j] > 1e-3).sum()) for j in nonempty]
         out[crit + "_score"] = RecoveryScore(
             rand_index=rand_index(lab, labels)[0],
-            purity=purity(lab, labels), best_k=ks[ki], best_s=ss[si],
-            labels=lab)
+            purity=purity(lab, labels), best_k=len(nonempty),
+            best_s=int(np.median(s_list)), labels=lab, s_list=s_list)
     return out
 
 
@@ -231,11 +247,17 @@ def run_vbhem_dic(info: Dict, base, tau: int, labels) -> Dict:
                 _, dval = dic(base, info["model_all"][(k, s)], tau)
                 dics[ki, si] = dval
     ki, si = np.unravel_index(np.argmin(dics), dics.shape)
-    res = info["model_all"][(ks[ki], ss[si])]
+    # reference prunes the DIC-selected cell before scoring
+    # (`evaluate_vbhem_jounarl.m:516-533`: vbh3m_remove_empty, then
+    # K_select = surviving clusters, S_select = pruned state counts)
+    res, hmm_list = vbhem.vbh3m_remove_empty(
+        info["model_all"][(ks[ki], ss[si])])
     lab = np.asarray(res.label)
+    s_list = [int(h.model.prior.shape[0]) for h in hmm_list]
     return {"dic": dics, "score": RecoveryScore(
         rand_index=rand_index(lab, labels)[0], purity=purity(lab, labels),
-        best_k=ks[ki], best_s=ss[si], labels=lab)}
+        best_k=len(hmm_list), best_s=int(np.median(s_list)),
+        labels=lab, s_list=s_list)}
 
 
 def run_ccfd(key, results, labels, ds: Optional[SyntheticDataset] = None,
