@@ -925,12 +925,19 @@ def cluster(key: jax.Array, base: H3M, k, s,
                               f"reverted (K={kk},S={sv})", flush=True)
                     bi_l = int(jnp.argmax(sts.ll))
                     st_opt = jax.tree.map(lambda a: a[bi_l], sts)
-                    if float(st_opt.ll) > best_ll:
-                        best_st, best_ll = st_opt, float(st_opt.ll)
+                    cand = float(st_opt.ll)
+                    cand = cand if np.isfinite(cand) else -np.inf
+                    if best_st is None or cand > best_ll:
+                        best_st, best_ll = st_opt, cand
                 else:
                     st = select_best_trial(states)
-                    if float(st.ll) > best_ll:
-                        best_st, best_ll = st, float(st.ll)
+                    cand = float(st.ll)
+                    # NaN ll (every trial unstable) must not leave
+                    # best_st = None: coalesce to -inf and keep SOME
+                    # state so finalize() has a model to package
+                    cand = cand if np.isfinite(cand) else -np.inf
+                    if best_st is None or cand > best_ll:
+                        best_st, best_ll = st, cand
             results[(kk, sv)] = finalize(best_st)
             scores[ki, si] = best_ll + float(gammaln(kk + 1)) \
                 + float(gammaln(sv + 1))
