@@ -1428,26 +1428,35 @@ def cluster_batched(key: jax.Array, base: H3M, k, s,
         if config.verbose >= 2:
             print("  grid hyp optimization (vmapped L-BFGS over "
                   "cell x solution lanes)", flush=True)
-        sts, lane_cell, _ = optimize_hyps_grid_batched(
+        sts, lane_cell, hyps_lanes = optimize_hyps_grid_batched(
             base, states, cells, cmasks, smasks, config, hyps0)
         lane_ll = np.asarray(sts.ll)
 
         def cell_state(ci):
             lanes = np.where(lane_cell == ci)[0]
             best_lane = lanes[int(np.argmax(lane_ll[lanes]))]
-            return jax.tree.map(lambda a: a[best_lane], sts)
+            return (jax.tree.map(lambda a: a[best_lane], sts),
+                    jax.tree.map(lambda a: a[best_lane], hyps_lanes))
     else:
         lls = np.asarray(states.ll)                   # [n_cells, trials]
         best_trial = lls.argmax(axis=1)
 
         def cell_state(ci):
-            return jax.tree.map(
-                lambda a: a[ci, best_trial[ci]], states)
+            return (jax.tree.map(
+                lambda a: a[ci, best_trial[ci]], states), hyps0)
 
+    # Model selection compares cell ELBOs; on f32 backends the device
+    # bound can carry precision/optimization artifacts large enough to
+    # flip the (K,S) choice (a +21k-nat phantom was observed after hyp
+    # optimization, RESULTS.md round-4), so every cell winner is
+    # RE-EVALUATED in float64 on the host (NumPy oracle, exact same
+    # bound) and selection uses the f64 values.
+    rescore_f64 = base.hmm.mean.dtype == jnp.float32
     scores = np.full((len(ks), len(ss)), -np.inf)
+    scores_device = np.full((len(ks), len(ss)), -np.inf)
     results = {}
     for ci, (kk, sv) in enumerate(cells):
-        st = cell_state(ci)
+        st, cell_hyps = cell_state(ci)
         # slice the padded state down to the active (K, S) sub-grid
         ksl, ssl = jnp.arange(kk), jnp.arange(sv)
         post = H3MPosterior(
@@ -1469,13 +1478,26 @@ def cluster_batched(key: jax.Array, base: H3M, k, s,
             trans_counts=stats.nj_rho2rho[ksl][:, ssl][:, :, ssl])
         results[(kk, sv)] = res
         ki, si = ks.index(kk), ss.index(sv)
-        scores[ki, si] = float(st.ll) + float(gammaln(kk + 1)) \
-            + float(gammaln(sv + 1))
+        corr = float(gammaln(kk + 1)) + float(gammaln(sv + 1))
+        scores_device[ki, si] = float(st.ll) + corr
+        if rescore_f64 and np.isfinite(float(st.ll)):
+            from . import rescore as rescore_mod
+            ll64 = rescore_mod.elbo_f64(base, post, cell_hyps,
+                                        config.nv, config.tau)
+            if (config.verbose >= 2
+                    and abs(ll64 - float(st.ll)) > 0.01 * abs(ll64)):
+                print(f"  [rescore] cell ({kk},{sv}): device f32 ll "
+                      f"{float(st.ll):.1f} -> f64 {ll64:.1f}",
+                      flush=True)
+            scores[ki, si] = ll64 + corr
+        else:
+            scores[ki, si] = scores_device[ki, si]
 
     bi = np.unravel_index(np.argmax(scores), scores.shape)
     best_k, best_s = ks[bi[0]], ss[bi[1]]
     from .vbhmm import _version
-    info = {"model_ll": scores, "model_k": ks, "model_s": ss,
+    info = {"model_ll": scores, "model_ll_device": scores_device,
+            "model_k": ks, "model_s": ss,
             "model_best_k": best_k, "model_best_s": best_s,
             "model_all": results, "vbhemopt": config,
             "version": _version()}
