@@ -258,10 +258,13 @@ def forward_backward_auto(log_pz1: jnp.ndarray, log_trans: jnp.ndarray,
                   and not os.environ.get("VBHEM_TPU_DISABLE_PALLAS"))
     if use_pallas:
         return _pallas_vmappable()(log_pz1, log_trans, log_rho, mask)
-    if jax.default_backend() == "tpu" and t_max >= 1024:
-        # long-sequence config: T exceeds the kernel's VMEM scratch
-        # budget — use the log-depth associative-scan FB instead of a
-        # T-sequential scan (SURVEY.md section 5 long-context item)
-        from .fb import forward_backward_assoc
-        return forward_backward_assoc(log_pz1, log_trans, log_rho, mask)
+    # Long T beyond the kernel's VMEM scratch budget: measured on the
+    # real chip (bench_podscale.py, RESULTS.md round-4), the XLA
+    # sequential scan stays sub-ms up to T=4096 while the log-depth
+    # associative-scan FB is 25-150x SLOWER on a single chip (it
+    # materializes [T, K, K] matrix products and is bandwidth-bound),
+    # so the scan is always the single-chip fallback.
+    # `forward_backward_assoc` remains available explicitly: its value
+    # is sequence-PARALLELISM (splitting one sequence's scan across
+    # devices/segments), not single-chip speed.
     return forward_backward(log_pz1, log_trans, log_rho, mask)
