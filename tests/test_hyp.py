@@ -258,12 +258,29 @@ def test_degenerate_hyp_solutions_fall_back():
     mask = hypmod.degenerate_mask(pre_ll, post_ll)
     np.testing.assert_array_equal(mask, [False, True, True, True])
 
+    # a legitimately-positive bound improving is NOT degenerate (the
+    # sign-flip test only applies when pre < 0)
+    np.testing.assert_array_equal(
+        hypmod.degenerate_mask(np.asarray([100.0]), np.asarray([150.0])),
+        [False])
+
     pre = {"ll": jnp.asarray(pre_ll), "x": jnp.arange(8.).reshape(4, 2)}
     post = {"ll": jnp.asarray(post_ll), "x": -jnp.ones((4, 2))}
-    out, n_bad = hypmod.fallback_degenerate_lanes(
+    out, n_bad, bad = hypmod.fallback_degenerate_lanes(
         post, pre, pre["ll"], post["ll"])
     assert n_bad == 3
+    np.testing.assert_array_equal(bad, [False, True, True, True])
     np.testing.assert_allclose(np.asarray(out["ll"]),
                                [-741e3, -743e3, -743e3, -743e3])
     np.testing.assert_allclose(np.asarray(out["x"])[0], [-1.0, -1.0])
     np.testing.assert_allclose(np.asarray(out["x"])[1], [2.0, 3.0])
+
+    # reverted lanes must also revert their learned hyps to hyps0 so the
+    # stored/rescored hyps match the state actually kept (ADVICE r4)
+    hyps_b = {"a": jnp.asarray([10., 20., 30., 40.]),
+              "w": jnp.ones((4, 2)) * 5.0}
+    hyps0 = {"a": jnp.asarray(1.0), "w": jnp.asarray([2.0, 3.0])}
+    sub = hypmod.substitute_lanes(hyps_b, hyps0, bad)
+    np.testing.assert_allclose(np.asarray(sub["a"]), [10., 1., 1., 1.])
+    np.testing.assert_allclose(np.asarray(sub["w"])[0], [5., 5.])
+    np.testing.assert_allclose(np.asarray(sub["w"])[2], [2., 3.])

@@ -383,3 +383,20 @@ def test_vbh3m_remove_empty_full_semantics(base, vbhem_cfg):
         np.testing.assert_allclose(trans.sum(-1), 1.0, rtol=1e-6)
         # standardize 'f': state 0 is the most probable initial state
         assert int(np.argmax(prior)) == 0
+
+
+def test_single_mode_entry_points_reject_auto(base, vbhem_cfg):
+    """'auto' initmode (try-all, `vbhem_h3m_cluster.m:363-399`) is a
+    cluster()/cluster_batched() front-end feature; the single-mode
+    workers must raise rather than silently degrade to 'baseem'."""
+    import dataclasses
+    cfg_auto = dataclasses.replace(vbhem_cfg, initmode="auto")
+    with pytest.raises(ValueError, match="auto"):
+        vbhem.fit_single_ks(jax.random.key(0), base, 2, 2, cfg_auto)
+    hyps = vbhem.VBHEMHyps.from_config(cfg_auto, 2)
+    with pytest.raises(ValueError, match="auto"):
+        vbhem.fit_grid_batched(jax.random.key(0), base, [2], [2],
+                               cfg_auto, hyps)
+    with pytest.raises(ValueError, match="unknown initmode"):
+        vbhem.fit_single_ks(jax.random.key(0), base, 2, 2, vbhem_cfg,
+                            initmode="nope")

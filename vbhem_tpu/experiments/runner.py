@@ -68,26 +68,35 @@ def _scale_meta(n_per_cluster, n_seqs, t, k_grid, s_grid, dtype) -> Dict:
 
 def _write_meta(outdir: str, repeat: int, meta: Dict) -> None:
     p = _meta_path(outdir, repeat)
-    if os.path.exists(p):
-        with open(p) as f:
-            old = json.load(f)
-        old_scale = {k: v for k, v in old.items() if k != "dtype"}
-        new_scale = {k: v for k, v in meta.items() if k != "dtype"}
+    _NON_SCALE_KEYS = ("dtype", "provenance")
+    old = _load_meta(outdir, repeat)
+    if old is not None:
+        old_scale = {k: v for k, v in old.items() if k not in _NON_SCALE_KEYS}
+        new_scale = {k: v for k, v in meta.items() if k not in _NON_SCALE_KEYS}
         if old_scale != new_scale:
             raise ValueError(
                 f"repeat {repeat} in {outdir} was checkpointed at a "
                 f"different scale ({old_scale} != {new_scale}); refusing "
                 f"to mix — use a fresh outdir")
-        return
-    with open(p, "w") as f:
+        if old.get("provenance") == meta.get("provenance"):
+            return
+        # upgrade in place: same scale, new/changed provenance stamp
+        meta = dict(old, provenance=meta.get("provenance"))
+    # tmp+rename: a worker killed mid-write must not truncate the meta
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
+    os.replace(tmp, p)
 
 
 def _load_meta(outdir: str, repeat: int) -> Optional[Dict]:
     p = _meta_path(outdir, repeat)
     if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return None
     return None
 
 

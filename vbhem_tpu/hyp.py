@@ -328,8 +328,11 @@ def degenerate_mask(ll_pre, ll_post) -> np.ndarray:
     Lanes matching the degenerate signature therefore FALL BACK to
     their pre-optimization solution:
       |post| < |pre|/10  (the reference's own warning test),
-      post > |pre|       (sign-flipped blow-up), or
+      pre < 0 and post > |pre|  (sign-flipped blow-up), or
       post non-finite while pre is finite.
+    The sign-flip test only applies to negative pre bounds: a genuinely
+    positive ELBO (continuous densities with small variances) improving
+    under hyp optimization is NOT degenerate.
     """
     pre = np.asarray(ll_pre, np.float64)
     post = np.asarray(ll_post, np.float64)
@@ -337,23 +340,42 @@ def degenerate_mask(ll_pre, ll_post) -> np.ndarray:
     bad = (~np.isfinite(post)) & finite_pre
     with np.errstate(invalid="ignore"):
         bad |= finite_pre & (np.abs(post) < np.abs(pre) / 10.0)
-        bad |= finite_pre & (post > np.abs(pre))
+        bad |= finite_pre & (pre < 0) & (post > np.abs(pre))
     return bad
 
 
 def fallback_degenerate_lanes(post_states, pre_states, ll_pre, ll_post):
     """Replace degenerate hyp-optimized lanes (leading axis) with their
-    pre-optimization states; returns (states, n_degenerate)."""
+    pre-optimization states; returns (states, n_degenerate, bad_mask).
+
+    Callers that keep per-lane learned hyps MUST also revert those lanes
+    to the pre-optimization hyps (see :func:`substitute_lanes`), so the
+    stored/rescored hyps always match the state actually kept."""
     bad = degenerate_mask(ll_pre, ll_post)
     if not bad.any():
-        return post_states, 0
+        return post_states, 0, bad
     badj = jnp.asarray(bad)
 
     def pick(new, old):
         b = badj.reshape(badj.shape + (1,) * (new.ndim - 1))
         return jnp.where(b, old, new)
 
-    return jax.tree.map(pick, post_states, pre_states), int(bad.sum())
+    return jax.tree.map(pick, post_states, pre_states), int(bad.sum()), bad
+
+
+def substitute_lanes(hyps_b, hyps0, bad: np.ndarray):
+    """Substitute the unbatched pre-optimization hyps ``hyps0`` into the
+    lane-batched ``hyps_b`` wherever ``bad`` is True, so reverted lanes
+    carry the hyps their kept state was actually converged under."""
+    if not np.asarray(bad).any():
+        return hyps_b
+    badj = jnp.asarray(np.asarray(bad))
+
+    def pick(hb, h0):
+        b = badj.reshape(badj.shape + (1,) * (hb.ndim - 1))
+        return jnp.where(b, jnp.broadcast_to(h0, hb.shape), hb)
+
+    return jax.tree.map(pick, hyps_b, hyps0)
 
 
 def pad_lanes(idx: np.ndarray, bucket: int = 4) -> np.ndarray:

@@ -115,8 +115,10 @@ def learn_bank(key: jax.Array, batches: Sequence[SeqBatch], k: int,
                                        init_posts)
         # degenerate hyp-optimized lanes fall back to pre-opt solutions
         pre = jax.tree.map(lambda a: a[si_idx, ti_idx], states)
-        sts, n_bad = hypmod.fallback_degenerate_lanes(
+        sts, n_bad, bad = hypmod.fallback_degenerate_lanes(
             sts, pre, pre.ll, sts.ll)
+        # reverted lanes keep hyps0 so learned_hyps matches the kept state
+        hyps_b = hypmod.substitute_lanes(hyps_b, hyps0, bad)
         if n_bad and config.verbose >= 2:
             print(f"  [hyp] {n_bad} degenerate lane(s) reverted",
                   flush=True)

@@ -602,8 +602,10 @@ def init_random(key: jax.Array, base: H3M, kr: int, sr: int,
     rand_lab = jax.random.randint(jax.random.fold_in(k1, 1), (kb,), 0, kr,
                                   dtype=jnp.int32)
     labels = jnp.zeros((kb,), jnp.int32)
-    labels = labels.at[perm[:kr]].set(jnp.arange(kr, dtype=jnp.int32))
-    labels = labels.at[perm[kr:]].set(rand_lab[perm[kr:]])
+    # clamp to kb: when kr > kb the extra clusters simply stay empty
+    npin = min(kr, kb)
+    labels = labels.at[perm[:npin]].set(jnp.arange(npin, dtype=jnp.int32))
+    labels = labels.at[perm[npin:]].set(rand_lab[perm[npin:]])
 
     means_flat = base.hmm.mean.reshape(kb * sb_max, d)
     base_of = jnp.repeat(jnp.arange(kb), sb_max)
@@ -736,6 +738,26 @@ _INITIALIZERS = {
 }
 
 
+def resolve_initmode(mode: str) -> str:
+    """Validate an initmode for a single-mode fitting entry point.
+
+    'auto' (try-all over baseem/gmmNew/wtkmeans,
+    `vbhem_h3m_cluster.m:363-399`) is implemented by the
+    :func:`cluster` / :func:`cluster_batched` front-ends, which run the
+    single-mode workers once per mode; the workers themselves must not
+    silently reinterpret it."""
+    if mode == "auto":
+        raise ValueError(
+            "initmode='auto' is a front-end (cluster/cluster_batched) "
+            "feature; this single-mode entry point needs an explicit "
+            "initmode from " + str(sorted(_INITIALIZERS)))
+    if mode not in _INITIALIZERS:
+        raise ValueError(f"unknown initmode {mode!r}; expected one of "
+                         f"{sorted(_INITIALIZERS)} (or 'auto' via the "
+                         f"cluster front-ends)")
+    return mode
+
+
 # ---------------------------------------------------------------------------
 # trials + (K,S) sweep (vbhem_h3m_c.m / vbhem_h3m_cluster.m)
 # ---------------------------------------------------------------------------
@@ -778,9 +800,7 @@ def fit_single_ks(key: jax.Array, base: H3M, kr: int, sr: int,
     dtype = base.hmm.mean.dtype
     if hyps is None:
         hyps = VBHEMHyps.from_config(config, base.hmm.mean.shape[-1], dtype)
-    mode = initmode or config.initmode
-    if mode == "auto":
-        mode = "baseem"  # auto tries several; single best default here
+    mode = resolve_initmode(initmode or config.initmode)
     init_fn = _INITIALIZERS[mode]
 
     def one_trial(trial_key):
@@ -918,7 +938,7 @@ def cluster(key: jax.Array, base: H3M, k, s,
                     _, sts = optimize_solution_hyps_batched(
                         base, init_posts, hyps0, config)
                     pre = jax.tree.map(lambda a: a[idx], states)
-                    sts, n_bad = hypmod.fallback_degenerate_lanes(
+                    sts, n_bad, _ = hypmod.fallback_degenerate_lanes(
                         sts, pre, pre.ll, sts.ll)
                     if n_bad and config.verbose >= 1:
                         print(f"  [hyp] {n_bad} degenerate lane(s) "
@@ -1204,9 +1224,7 @@ def fit_grid_batched(key: jax.Array, base: H3M, ks, ss,
     smasks = jnp.asarray(np.stack(
         [np.arange(smax) < s for _, s in cells]))
 
-    mode = initmode or config.initmode
-    if mode == "auto":
-        mode = "baseem"
+    mode = resolve_initmode(initmode or config.initmode)
     init_fn = _INITIALIZERS[mode]
 
     def one(cell_key, cmask, smask):
@@ -1384,8 +1402,12 @@ def optimize_hyps_grid_batched(base: H3M, states: VBHEMState, cells,
     # degenerate hyp-optimized lanes fall back to their pre-opt solution
     # (see hyp.degenerate_mask; `vbhem_h3m_c.m:175-180`)
     pre = jax.tree.map(lambda a: a[ci_idx, tr_idx], states)
-    sts, n_bad = hypmod.fallback_degenerate_lanes(
+    sts, n_bad, bad = hypmod.fallback_degenerate_lanes(
         sts, pre, pre.ll, sts.ll)
+    # reverted lanes keep hyps0 (the hyps their kept state converged
+    # under) so cell_hyps / f64 rescoring never pair a pre-opt posterior
+    # with degenerate optimized hyps
+    hyps_b = hypmod.substitute_lanes(hyps_b, hyps0, bad)
     if n_bad and config.verbose >= 1:
         print(f"  [hyp] {n_bad} degenerate hyp-optimized lane(s) "
               f"reverted to pre-optimization solutions", flush=True)

@@ -505,8 +505,11 @@ def learn(key: jax.Array, batch: SeqBatch, k, config: VBConfig = VBConfig(),
         # degenerate hyp-optimized lanes fall back to pre-opt solutions
         # (`vbhmm_learn.m:567-571` warning test, made a rejection)
         pre = jax.tree.map(lambda a: a[idx], states)
-        sts, n_bad = hypmod.fallback_degenerate_lanes(
+        sts, n_bad, bad = hypmod.fallback_degenerate_lanes(
             sts, pre, pre.ll, sts.ll)
+        # reverted lanes keep hyps0 so info['learned_hyps'] matches the
+        # state actually kept
+        hyps_b = hypmod.substitute_lanes(hyps_b, hyps0, bad)
         if n_bad and config.verbose >= 2:
             print(f"  [hyp] {n_bad} degenerate lane(s) reverted",
                   flush=True)

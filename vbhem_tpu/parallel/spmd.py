@@ -166,9 +166,7 @@ def sharded_fit_trials(mesh: Mesh, base: H3M, kr: int, sr: int,
     if config.trials % n_trial:
         raise ValueError(f"trials={config.trials} not divisible by the "
                          f"'trial' mesh axis ({n_trial})")
-    mode = initmode or config.initmode
-    if mode == "auto":
-        mode = "baseem"
+    mode = vbhem.resolve_initmode(initmode or config.initmode)
     init_fn = vbhem._INITIALIZERS[mode]
 
     def one_trial(trial_key):
@@ -211,9 +209,7 @@ def sharded_grid_sweep(mesh: Mesh, base: H3M, ks, ss, config,
     cmasks = jnp.asarray(np.stack([np.arange(kmax) < k for k, _ in cells]))
     smasks = jnp.asarray(np.stack([np.arange(smax) < s for _, s in cells]))
 
-    mode = initmode or config.initmode
-    if mode == "auto":
-        mode = "baseem"
+    mode = vbhem.resolve_initmode(initmode or config.initmode)
     init_fn = vbhem._INITIALIZERS[mode]
 
     def one(cell_key, cmask, smask):
