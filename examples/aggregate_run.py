@@ -28,13 +28,20 @@ def main():
     ap.add_argument("--repeats", type=int, default=10)
     ap.add_argument("--out", default=None,
                     help="write the summary JSON here (default stdout)")
+    ap.add_argument("--exclude", default=None,
+                    help="comma list of repeat ids to exclude from the "
+                         "summaries (reported separately under "
+                         "'excluded'), e.g. known-tainted banks")
     args = ap.parse_args()
 
     import numpy as np
 
     from vbhem_tpu.experiments import runner
 
-    summary = runner.aggregate_from_checkpoints(args.outdir, args.repeats)
+    exclude = ([int(v) for v in args.exclude.split(",")]
+               if args.exclude else ())
+    summary = runner.aggregate_from_checkpoints(args.outdir, args.repeats,
+                                                exclude_repeats=exclude)
 
     # stage wall-clocks from the per-stage checkpoints ("elapsed" field)
     stages = {}

@@ -75,3 +75,69 @@ def test_cluster_batched_f32_selects_on_f64_scores():
     assert np.isfinite(ll64).all() and np.isfinite(ll32).all()
     # f32 vs f64 relative agreement at this benign scale
     np.testing.assert_allclose(ll64, ll32, rtol=1e-3)
+
+
+def test_vbem_rescore_matches_jax_elbo_f64():
+    """The VBEM 8-term NumPy oracle (`vbem_elbo_f64`) must equal the JAX
+    elbo to ~1e-10 in float64, on a converged masked ragged batch."""
+    from vbhem_tpu.config import VBConfig
+    from vbhem_tpu.containers import SeqBatch
+    from vbhem_tpu.models import vbhmm
+
+    key = jax.random.key(7)
+    dtype = jnp.float64
+    n, t, d, k = 6, 12, 2, 3
+    x = jax.random.normal(jax.random.key(1), (n, t, d), dtype) * 1.5
+    x = x + jnp.arange(n, dtype=dtype)[:, None, None] * 0.3
+    lengths = jnp.asarray([12, 9, 12, 7, 12, 10], jnp.int32)
+    batch = SeqBatch(x=x, lengths=lengths)
+    cfg = VBConfig(mu0=(0.0, 0.0), w0=1.0, numtrials=1)
+    hyps = vbhmm.VBHyps.from_config(cfg, d, dtype)
+    post0 = vbhmm.random_init(key, batch, k, hyps, "full")
+    st = vbhmm.vbem_em(batch, post0, hyps, max_iter=6, min_diff=0.0)
+
+    fb = vbhmm.e_step(batch, st.post)
+    stats = vbhmm.suff_stats(batch, fb)
+    want = float(vbhmm.elbo(batch, st.post, fb, stats, hyps))
+    got = rescore.vbem_elbo_f64(x, lengths, st.post, hyps)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    # batched lane form: shared data + per-lane hyps axis
+    posts_b = jax.tree.map(lambda a: jnp.stack([a, a]), st.post)
+    hyps_b = jax.tree.map(lambda a: jnp.stack([a, a]), hyps)
+    lls = rescore.vbem_rescore_lanes(np.asarray(x), np.asarray(lengths),
+                                     posts_b, hyps_b)
+    np.testing.assert_allclose(lls, [want, want], rtol=1e-10)
+
+
+def test_learn_f32_selects_on_f64_scores():
+    """On f32 batches, vbhmm.learn and batch.learn_bank select restarts
+    / lanes / K on host-f64 rescored bounds; at benign scales those
+    agree with the device values to ~1e-3 relative."""
+    from vbhem_tpu.config import VBConfig
+    from vbhem_tpu.containers import HMM, SeqBatch
+    from vbhem_tpu.models import batch as batch_mod
+    from vbhem_tpu.models import hmm_tools, vbhmm
+
+    gt = HMM(prior=jnp.asarray([.5, .5]),
+             trans=jnp.asarray([[.6, .4], [.4, .6]]),
+             mean=jnp.asarray([[0., 0.], [3., 3.]]),
+             cov=jnp.broadcast_to(jnp.eye(2), (2, 2, 2)))
+    _, x = hmm_tools.sample(jax.random.key(9), gt, t=30, n=12)
+    x32 = jnp.asarray(np.asarray(x), jnp.float32)
+    b32 = SeqBatch(x=x32, lengths=jnp.full((12,), 30, jnp.int32))
+    cfg = VBConfig(mu0=(1.5, 1.5), w0=1.0, numtrials=4)
+
+    res, info = vbhmm.learn(jax.random.key(2), b32, [1, 2], cfg)
+    assert info["model_best_k"] == 2
+    k2_info = info["model_infos"][list(info["model_k"]).index(2)]
+    assert "ll_f64" in k2_info
+    np.testing.assert_allclose(k2_info["ll_f64"], float(res.ll),
+                               rtol=1e-3)
+
+    results, binfo = batch_mod.learn_bank(
+        jax.random.key(3), [b32, b32], 2, cfg)
+    assert len(results) == 2
+    for r in results:
+        np.testing.assert_allclose(
+            np.sort(np.asarray(r.model.mean)[:, 0]), [0., 3.], atol=0.5)

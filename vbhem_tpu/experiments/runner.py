@@ -100,6 +100,28 @@ def _load_meta(outdir: str, repeat: int) -> Optional[Dict]:
     return None
 
 
+def _bank_provenance(outdir: str, repeat: int, banks_obj) -> Dict:
+    """Identity + creating-code-version of a repeat's VBEM bank.
+
+    ``bank_version`` is read from inside the stage pickle (written since
+    round 5); banks checkpointed by earlier code report "pre-r5" — the
+    aggregate segregates those so a stale bank can never silently feed a
+    headline parity number (the reference's per-iteration .mat
+    provenance discipline, `exprmt1_demo.m:96-102`)."""
+    import hashlib
+    p = _ckpt_path(outdir, repeat, "vbem")
+    h = None
+    if os.path.exists(p):
+        sha = hashlib.sha256()
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                sha.update(chunk)
+        h = sha.hexdigest()[:16]
+    version = banks_obj.get("bank_version") if isinstance(banks_obj, dict) \
+        and "banks" in banks_obj else "pre-r5"
+    return {"bank_sha256": h, "bank_version": version}
+
+
 def _save(outdir: str, repeat: int, stage: str, obj) -> None:
     p = _ckpt_path(outdir, repeat, stage)
     tmp = p + ".tmp"
@@ -148,7 +170,9 @@ def run_repeat(repeat: int, outdir: str,
     labels = ds.labels
 
     # ---- per-subject VBEM, one bank per S for PPK (exprmt1_demo.m:47) ----
-    banks = _load(outdir, repeat, "vbem")
+    banks_obj = _load(outdir, repeat, "vbem")
+    banks = banks_obj.get("banks") if isinstance(banks_obj, dict) \
+        and "banks" in banks_obj else banks_obj
     if banks is None:
         t0 = time.time()
         vb_cfg = vb_config or syn.default_vb_config()
@@ -166,12 +190,21 @@ def run_repeat(repeat: int, outdir: str,
                 _save(outdir, repeat, f"vbem_s{s}", bank)
             banks[s] = bank
         timings["vbem"] = time.time() - t0
-        _save(outdir, repeat, "vbem", banks)
+        # bank provenance travels INSIDE the stage pickle (version of
+        # the code that produced it), so aggregates can segregate
+        # banks that predate correctness fixes
+        from .. import __version__
+        banks_obj = {"banks": banks, "bank_version": __version__}
+        _save(outdir, repeat, "vbem", banks_obj)
         for s in s_list:   # sub-checkpoints subsumed by the stage pickle
             try:
                 os.remove(_ckpt_path(outdir, repeat, f"vbem_s{s}"))
             except OSError:
                 pass
+    _write_meta(outdir, repeat,
+                dict(_scale_meta(n_per_cluster, n_seqs, t, k_grid, s_grid,
+                                 dtype),
+                     provenance=_bank_provenance(outdir, repeat, banks_obj)))
     results = banks[GT_S]
 
     # ---- VBHEM over the (K,S) grid (exprmt1_demo.m:64-108) ----
@@ -192,6 +225,9 @@ def run_repeat(repeat: int, outdir: str,
                 dic_out = syn.run_vbhem_dic(info, base, cfg.tau, labels)
                 st = {"score": score, "dic_score": dic_out["score"],
                       "dic": dic_out["dic"], "model_ll": info["model_ll"],
+                      # restart budget this grid ran with (the reference
+                      # default is 100, `vbhem_h3m_cluster.m:159`)
+                      "trials": cfg.trials,
                       # pruned selected model (small) so checkpoints can
                       # be RE-scored if scoring semantics evolve
                       "result": res,
@@ -333,7 +369,8 @@ def aggregate(per_repeat: List[Dict]) -> Dict:
     return summary
 
 
-def aggregate_from_checkpoints(outdir: str, n_repeats: int = 10) -> Dict:
+def aggregate_from_checkpoints(outdir: str, n_repeats: int = 10,
+                               exclude_repeats=()) -> Dict:
     """Aggregate whatever (repeat, stage) checkpoints exist in ``outdir``
     WITHOUT running anything — for summarizing a partially completed
     multi-worker run.  Repeats with no completed method stages are
@@ -344,31 +381,57 @@ def aggregate_from_checkpoints(outdir: str, n_repeats: int = 10) -> Dict:
     its own summary instead of silently pooling them into one recovery
     statistic.  Repeats with no meta sidecar (pre-meta snapshots) group
     under "unknown".  Mixed dtypes within one scale are pooled (an
-    intentional cross-precision consistency check) but reported."""
+    intentional cross-precision consistency check) but reported.
+
+    ``exclude_repeats`` removes known-bad repeats (e.g. a bank produced
+    by code that predates a correctness fix) from every summary; they
+    are still reported under ``"excluded"`` with their own statistics so
+    nothing is silently dropped.  Each group also reports per-repeat
+    bank provenance from the meta sidecars."""
+    exclude = set(int(r) for r in exclude_repeats)
     groups: Dict[str, Dict] = {}
+    excluded: Dict[str, Dict] = {}
     for r in range(n_repeats):
         scores_r = _collect_repeat_scores(outdir, r)
         if not scores_r:
             continue
         meta = _load_meta(outdir, r)
+        if r in exclude:
+            excluded[str(r)] = {
+                "provenance": (meta or {}).get("provenance"),
+                "summary": aggregate([scores_r])}
+            continue
         key = ("unknown" if meta is None else json.dumps(
-            {k: v for k, v in meta.items() if k != "dtype"},
+            {k: v for k, v in meta.items()
+             if k not in ("dtype", "provenance")},
             sort_keys=True))
         g = groups.setdefault(key, {"per_repeat": [], "repeats": [],
-                                    "dtypes": {}})
+                                    "dtypes": {}, "provenance": {}})
         g["per_repeat"].append(scores_r)
         g["repeats"].append(r)
         if meta is not None:
             g["dtypes"][str(r)] = meta.get("dtype")
+            if meta.get("provenance") is not None:
+                g["provenance"][str(r)] = meta["provenance"]
     if not groups:
-        return {}
+        return {"excluded": excluded} if excluded else {}
     if len(groups) == 1:
-        return aggregate(next(iter(groups.values()))["per_repeat"])
-    return {"mixed_configs": True,
-            "groups": {k: {"repeats": g["repeats"],
-                           "dtypes": g["dtypes"],
-                           "summary": aggregate(g["per_repeat"])}
-                       for k, g in groups.items()}}
+        out = aggregate(next(iter(groups.values()))["per_repeat"])
+        g = next(iter(groups.values()))
+        if g["provenance"]:
+            out["provenance"] = g["provenance"]
+        if excluded:
+            out["excluded"] = excluded
+        return out
+    out = {"mixed_configs": True,
+           "groups": {k: {"repeats": g["repeats"],
+                          "dtypes": g["dtypes"],
+                          "provenance": g["provenance"],
+                          "summary": aggregate(g["per_repeat"])}
+                      for k, g in groups.items()}}
+    if excluded:
+        out["excluded"] = excluded
+    return out
 
 
 def _collect_repeat_scores(outdir: str, r: int) -> Optional[Dict]:

@@ -122,7 +122,16 @@ def learn_bank(key: jax.Array, batches: Sequence[SeqBatch], k: int,
         if n_bad and config.verbose >= 2:
             print(f"  [hyp] {n_bad} degenerate lane(s) reverted",
                   flush=True)
-        lane_ll = np.asarray(sts.ll)
+        if dtype == jnp.float32:
+            # per-subject lane selection on host-f64 rescored bounds
+            # (f32 device ELBOs can carry selection-flipping artifacts)
+            from . import rescore
+            lane_ll = rescore.vbem_rescore_lanes(
+                np.asarray(lane_x), np.asarray(lane_len), sts.post,
+                hyps_b)
+            info["lane_ll_f64"] = lane_ll
+        else:
+            lane_ll = np.asarray(sts.ll)
         picks, learned = [], []
         for si in range(n_subj):
             lanes = np.where(lane_subj == si)[0]
@@ -132,7 +141,17 @@ def learn_bank(key: jax.Array, batches: Sequence[SeqBatch], k: int,
         final = jax.tree.map(lambda a: a[picks], sts)
         info["learned_hyps"] = jax.tree.map(lambda a: a[picks], hyps_b)
     else:
-        best = jnp.argmax(states.ll, axis=1)            # [S]
+        if dtype == jnp.float32:
+            from . import rescore
+            ll64 = np.stack([
+                rescore.vbem_rescore_lanes(
+                    np.asarray(xs[si]), np.asarray(lens[si]),
+                    jax.tree.map(lambda a, si=si: a[si], states.post),
+                    hyps0)
+                for si in range(n_subj)])               # [S, trials]
+            best = jnp.asarray(np.argmax(ll64, axis=1))
+        else:
+            best = jnp.argmax(states.ll, axis=1)        # [S]
         final = jax.tree.map(
             lambda a: a[jnp.arange(n_subj), best], states)
 

@@ -153,3 +153,164 @@ def elbo_f64(base, post, hyps, nv: int, tau: int) -> float:
 
     return float(lt1 + lt2 + lt3 + lt4 + lt5 + lt6 - lt7 - lt8 - lt9
                  - lt10)
+
+
+# ---------------------------------------------------------------------------
+# VBEM (subject-level) 8-term bound in float64 (`vbhmm_em_lb.m:120-257`)
+# ---------------------------------------------------------------------------
+
+def _fb_f64(log_pz1, log_trans, log_rho, mask):
+    """Scaled forward-backward in NumPy f64, mirroring
+    `ops/fb.py:forward_backward` exactly (same per-step max-rescale and
+    normalizer conventions, `vbhmm_fb.m:289-377`).
+    Returns (gamma [N,T,K], xi_sum [N,K,K], phi_norm [N])."""
+    n, t_max, k = log_rho.shape
+    pz1 = np.exp(log_pz1)
+    trans = np.exp(log_trans)
+    if pz1.ndim == 1:
+        pz1 = np.broadcast_to(pz1[None, :], (n, k))
+    maskf = mask.astype(np.float64)
+
+    max_rho = np.max(log_rho, axis=-1)                       # [N, T]
+    px = np.exp(log_rho - max_rho[..., None])                # [N, T, K]
+
+    alpha = np.zeros((t_max, n, k))
+    c = np.ones((t_max, n))
+    delta0 = pz1 * px[:, 0, :]
+    c[0] = np.sum(delta0, axis=-1)
+    alpha[0] = delta0 / c[0][:, None]
+    for t in range(1, t_max):
+        delta = (alpha[t - 1] @ trans) * px[:, t, :]
+        ct = np.sum(delta, axis=-1)
+        ct = np.where(ct > 0, ct, 1.0)
+        a_new = delta / ct[:, None]
+        valid = mask[:, t]
+        alpha[t] = np.where(valid[:, None], a_new, alpha[t - 1])
+        c[t] = np.where(valid, ct, 1.0)
+
+    beta = np.ones((t_max, n, k))
+    xi_sum = np.zeros((n, k, k))
+    for t in range(t_max - 2, -1, -1):
+        bp = beta[t + 1] * px[:, t + 1, :]
+        beta_t = (bp @ trans.T) / c[t + 1][:, None]
+        valid = mask[:, t + 1]
+        beta[t] = np.where(valid[:, None], beta_t, 1.0)
+        xi_t = (trans[None] * (alpha[t][:, :, None] * bp[:, None, :])
+                / c[t + 1][:, None, None])
+        xi_sum += np.where(valid[:, None, None], xi_t, 0.0)
+
+    gamma = np.moveaxis(alpha * beta, 0, 1) * maskf[..., None]
+    log_c = np.where(mask, np.log(np.moveaxis(c, 0, 1)), 0.0)
+    phi_norm = np.sum(log_c, axis=-1) + np.sum(max_rho * maskf, axis=-1)
+    return gamma, xi_sum, phi_norm
+
+
+def vbem_elbo_f64(x, lengths, post, hyps) -> float:
+    """The full 8-term VBEM bound (`vbhmm_em_lb.m:120-257`) in NumPy
+    float64 for one subject solution: E-step (expected-log-Gaussian +
+    scaled FB) -> masked sufficient statistics -> bound.  ``post`` is an
+    HMMPosterior, ``hyps`` a VBHyps; mirrors `models/vbhmm.py:elbo` so
+    it doubles as an independent oracle (tests/test_rescore.py).
+
+    Used to make restart / multi-K / bank-lane selection f64-grade when
+    device compute is float32 (the VBEM analogue of the grid-cell
+    rescoring above)."""
+    f = lambda a: np.asarray(a, np.float64)  # noqa: E731
+    x = f(x)
+    lengths = np.asarray(lengths)
+    n, t_max, d = x.shape
+    mask = np.arange(t_max)[None, :] < lengths[:, None]
+    maskf = mask.astype(np.float64)
+
+    alpha_p, eps_p = f(post.alpha), f(post.epsilon)
+    lam, v, m, w = f(post.niw.beta), f(post.niw.v), f(post.niw.m), \
+        f(post.niw.w)
+    alpha0, eps0 = float(hyps.alpha0), float(hyps.epsilon0)
+    beta0, v0 = float(hyps.beta0), float(hyps.v0)
+    m0, w0 = f(hyps.m0), f(hyps.w0)
+    k = alpha_p.shape[-1]
+
+    # ---- E-step in f64 ----
+    log_pi = _e_log_dirichlet(alpha_p)
+    log_a = _e_log_dirichlet(eps_p)
+    log_lam = _e_log_det_lambda(v, w)
+    diff = x[:, :, None, :] - m[None, None, :, :]            # [N,T,K,D]
+    quad = np.einsum("ntkd,kde,ntke->ntk", diff, w, diff)
+    delta = d / lam[None, None, :] + v[None, None, :] * quad
+    log_rho = (0.5 * log_lam[None, None, :] - 0.5 * delta
+               - 0.5 * d * np.log(2 * np.pi))
+    gamma, xi_sum_n, phi_norm = _fb_f64(log_pi, log_a, log_rho, mask)
+    log_rho = log_rho * maskf[..., None]
+
+    # ---- sufficient statistics (`vbhmm_em.m:158-246`) ----
+    nk1 = np.sum(gamma[:, 0, :], axis=0)
+    nk = np.sum(gamma, axis=(0, 1)) + TINY
+    m_trans = np.sum(xi_sum_n, axis=0)
+    xbar = np.einsum("ntk,ntd->kd", gamma, x) / nk[:, None]
+    m2 = np.einsum("ntk,ntd,nte->kde", gamma, x, x) / nk[:, None, None]
+    s = m2 - xbar[:, :, None] * xbar[:, None, :]
+    s = 0.5 * (s + np.swapaxes(s, -1, -2))
+
+    # ---- the 8 terms ----
+    logdet_w0inv = float(np.sum(np.log(1.0 / w0)))
+    w0inv_diag = 1.0 / w0
+    log_c_alpha0 = gammaln(k * alpha0) - k * gammaln(alpha0)
+    log_c_eps0 = gammaln(k * eps0) - k * gammaln(eps0)
+    log_b0 = _log_wishart_b(logdet_w0inv, np.asarray(v0), d)
+
+    tr_sw = np.einsum("kde,ked->k", s, w)
+    dxb = xbar - m
+    xbar_w_xbar = np.einsum("kd,kde,ke->k", dxb, w, dxb)
+    dm = m - m0[None, :]
+    m_w_m = np.einsum("kd,kde,ke->k", dm, w, dm)
+    tr_w0inv_w = np.einsum("d,kdd->k", w0inv_diag, w)
+
+    lt1 = 0.5 * np.sum(nk * (log_lam - d / lam - v * tr_sw
+                             - v * xbar_w_xbar - d * np.log(2 * np.pi)))
+    lt2a = np.sum(nk1 * log_pi)
+    lt2b = np.sum(m_trans * log_a)
+    lt2 = lt2a + lt2b
+    lt3 = log_c_alpha0 + (alpha0 - 1.0) * np.sum(log_pi)
+    lt4 = k * log_c_eps0 + (eps0 - 1.0) * np.sum(log_a)
+    lt51 = 0.5 * np.sum(d * np.log(beta0 / (2 * np.pi)) + log_lam
+                        - d * beta0 / lam - beta0 * v * m_w_m)
+    lt52 = (k * log_b0 + 0.5 * (v0 - d - 1.0) * np.sum(log_lam)
+            - 0.5 * np.sum(v * tr_w0inv_w))
+    lt5 = lt51 + lt52
+    lt63 = np.sum(gamma * log_rho)
+    lt64 = np.sum(phi_norm)
+    lt6 = lt2a + lt2b + lt63 - lt64
+    lt71 = np.sum((alpha_p - 1.0) * log_pi) + _log_dirichlet_const(alpha_p)
+    lt72 = np.sum(np.sum((eps_p - 1.0) * log_a, -1)
+                  + _log_dirichlet_const(eps_p))
+    lt7 = lt71 + lt72
+    log_bk = _log_wishart_b(-_logdet_psd(w), v, d)
+    h_ent = np.sum(-log_bk - 0.5 * (v - d - 1.0) * log_lam + 0.5 * v * d)
+    lt8 = 0.5 * np.sum(log_lam + d * np.log(lam / (2 * np.pi))) \
+        - 0.5 * d * k - h_ent
+
+    return float(lt1 + lt2 + lt3 + lt4 + lt5 - lt6 - lt7 - lt8)
+
+
+def vbem_rescore_lanes(x, lengths, posts, hyps_lanes) -> np.ndarray:
+    """f64-rescore a batch of lane solutions.  ``posts`` has a leading
+    lane axis; ``hyps_lanes`` either shares that leading axis or is a
+    single unbatched VBHyps applied to every lane.  ``x`` may be
+    [N,T,D] (shared data) or [L,N,T,D] (per-lane data, e.g. bank lanes
+    over subjects; ``lengths`` then [L,N]).  Returns [L] float64."""
+    import jax
+    n_lanes = int(np.asarray(posts.alpha).shape[0])
+    per_lane_hyps = np.asarray(hyps_lanes.alpha0).ndim >= 1
+    per_lane_x = np.asarray(x).ndim == 4
+    out = np.empty((n_lanes,), np.float64)
+    for li in range(n_lanes):
+        p = jax.tree.map(lambda a: a[li], posts)
+        h = jax.tree.map(lambda a: a[li], hyps_lanes) if per_lane_hyps \
+            else hyps_lanes
+        xi = x[li] if per_lane_x else x
+        ln = lengths[li] if per_lane_x else lengths
+        try:
+            out[li] = vbem_elbo_f64(xi, ln, p, h)
+        except (np.linalg.LinAlgError, FloatingPointError, ValueError):
+            out[li] = -np.inf
+    return out

@@ -437,7 +437,9 @@ def learn(key: jax.Array, batch: SeqBatch, k, config: VBConfig = VBConfig(),
                                   initgmm=initgmm, inithmm=inithmm)
             results.append(res)
             sub_infos.append(sub_info)
-            lls.append(float(res.ll))
+            # cross-K comparison uses the f64-rescored bound when the
+            # compute dtype is f32 (set by the single-K path below)
+            lls.append(sub_info.get("ll_f64", float(res.ll)))
         corrected = np.asarray(lls) + np.array(
             [float(gammaln(kk + 1)) for kk in ks])
         best = int(np.argmax(corrected))
@@ -513,11 +515,34 @@ def learn(key: jax.Array, batch: SeqBatch, k, config: VBConfig = VBConfig(),
         if n_bad and config.verbose >= 2:
             print(f"  [hyp] {n_bad} degenerate lane(s) reverted",
                   flush=True)
-        best = int(jnp.argmax(sts.ll))
+        if batch.x.dtype == jnp.float32:
+            # f32 device bounds can carry selection-flipping artifacts;
+            # pick the winning lane on host-f64 rescored values (the
+            # VBEM analogue of cluster_batched's grid-cell rescoring)
+            from . import rescore
+            lane_ll64 = rescore.vbem_rescore_lanes(
+                np.asarray(batch.x), np.asarray(batch.lengths),
+                sts.post, hyps_b)
+            best = int(np.argmax(lane_ll64))
+            info["ll_f64"] = float(lane_ll64[best])
+        else:
+            best = int(jnp.argmax(sts.ll))
         st = jax.tree.map(lambda a: a[best], sts)
         info["learned_hyps"] = jax.tree.map(lambda a: a[best], hyps_b)
     else:
-        st = select_best_trial(states)
+        if batch.x.dtype == jnp.float32:
+            from . import rescore
+            import numpy as np
+            hyps0_ns = hyps if hyps is not None else VBHyps.from_config(
+                config, batch.x.shape[-1], batch.x.dtype)
+            trial_ll64 = rescore.vbem_rescore_lanes(
+                np.asarray(batch.x), np.asarray(batch.lengths),
+                states.post, hyps0_ns)
+            best = int(np.argmax(trial_ll64))
+            st = jax.tree.map(lambda a: a[best], states)
+            info["ll_f64"] = float(trial_ll64[best])
+        else:
+            st = select_best_trial(states)
     res = finalize(batch, st)
     if config.sortclusters:
         res = standardize(res, config.sortclusters)
