@@ -72,10 +72,15 @@ def pair_ll_elbo_f64(prior_b, trans_b, log_pi, log_a, ell,
     return np.einsum("ib,ijb->ij", prior_b, lse1)
 
 
-def elbo_f64(base, post, hyps, nv: int, tau: int) -> float:
+def elbo_f64(base, post, hyps, nv: int, tau: int,
+             return_terms: bool = False):
     """The full 10-term VBHEM bound in float64 for an UNPADDED
     (K, S) model.  ``base``/``post``/``hyps`` are the JAX pytrees
-    (H3M / H3MPosterior / VBHEMHyps); everything is pulled to NumPy."""
+    (H3M / H3MPosterior / VBHEMHyps); everything is pulled to NumPy.
+
+    ``return_terms=True`` additionally returns the dict of the ten
+    terms (lt1..lt10, `vbhemh3m_lb.m:88-186` order, pre-sign) for
+    per-term decomposition of cell-ELBO differences."""
     f = lambda a: np.asarray(a, np.float64)  # noqa: E731
     omega_b, prior_b, trans_b = f(base.omega), f(base.hmm.prior), \
         f(base.hmm.trans)
@@ -151,8 +156,13 @@ def elbo_f64(base, post, hyps, nv: int, tau: int) -> float:
     lt10 = 0.5 * np.sum(log_lam + d * np.log(lam / (2 * np.pi))) \
         - 0.5 * d * kr * sr - h_ent
 
-    return float(lt1 + lt2 + lt3 + lt4 + lt5 + lt6 - lt7 - lt8 - lt9
-                 - lt10)
+    total = float(lt1 + lt2 + lt3 + lt4 + lt5 + lt6 - lt7 - lt8 - lt9
+                  - lt10)
+    if return_terms:
+        terms = {f"lt{i}": float(v) for i, v in enumerate(
+            [lt1, lt2, lt3, lt4, lt5, lt6, lt7, lt8, lt9, lt10], 1)}
+        return total, terms
+    return total
 
 
 # ---------------------------------------------------------------------------

@@ -1477,8 +1477,10 @@ def cluster_batched(key: jax.Array, base: H3M, k, s,
     scores = np.full((len(ks), len(ss)), -np.inf)
     scores_device = np.full((len(ks), len(ss)), -np.inf)
     results = {}
+    cell_hyps_all = {}
     for ci, (kk, sv) in enumerate(cells):
         st, cell_hyps = cell_state(ci)
+        cell_hyps_all[(kk, sv)] = cell_hyps
         # slice the padded state down to the active (K, S) sub-grid
         ksl, ssl = jnp.arange(kk), jnp.arange(sv)
         post = H3MPosterior(
@@ -1521,6 +1523,6 @@ def cluster_batched(key: jax.Array, base: H3M, k, s,
     info = {"model_ll": scores, "model_ll_device": scores_device,
             "model_k": ks, "model_s": ss,
             "model_best_k": best_k, "model_best_s": best_s,
-            "model_all": results, "vbhemopt": config,
-            "version": _version()}
+            "model_all": results, "model_hyps": cell_hyps_all,
+            "vbhemopt": config, "version": _version()}
     return results[(best_k, best_s)], info
