@@ -400,3 +400,26 @@ def test_single_mode_entry_points_reject_auto(base, vbhem_cfg):
     with pytest.raises(ValueError, match="unknown initmode"):
         vbhem.fit_single_ks(jax.random.key(0), base, 2, 2, vbhem_cfg,
                             initmode="nope")
+
+
+def test_two_stage_selection_matches_reference_rule():
+    """`vbhem_h3m_cluster.m:261-345`: S* per K maximizes LL+gammaln(S+1);
+    K* maximizes the winner's RAW LL + gammaln(K+1) — the S correction
+    does not propagate.  Construct a grid where joint argmax and the
+    reference rule disagree."""
+    from scipy.special import gammaln as gl
+    ks, ss = [1, 2], [2, 3]
+    ll = np.asarray([[-103.0, -100.0],   # K=1: S*=3
+                     [-100.0, -102.0]])  # K=2: S*=2
+    scores = ll + np.asarray([[gl(k + 1) + gl(s + 1) for s in ss]
+                              for k in ks])
+    # joint argmax: (1,3) scores -100+gl(4) = -98.21, beating (2,2) at
+    # -100+gl(3)+gl(3) = -98.61 -> joint would pick (1,3).
+    # reference rule: model_ll_k = [LL(1,3)+gl(2), LL(2,2)+gl(3)] =
+    # [-100, -99.31] -> K*=2, S*=2.  The rules DISAGREE on this grid.
+    joint = np.unravel_index(np.argmax(scores), scores.shape)
+    assert (ks[joint[0]], ss[joint[1]]) == (1, 3)
+    bk, bs, mlk, s_star = vbhem._two_stage_select(scores, ks, ss)
+    assert (bk, bs) == (2, 2)
+    np.testing.assert_allclose(mlk, [-100.0 + gl(2), -100.0 + gl(3)])
+    assert s_star == [3, 2]

@@ -962,14 +962,43 @@ def cluster(key: jax.Array, base: H3M, k, s,
             scores[ki, si] = best_ll + float(gammaln(kk + 1)) \
                 + float(gammaln(sv + 1))
 
-    bi = np.unravel_index(np.argmax(scores), scores.shape)
-    best_k, best_s = ks[bi[0]], ss[bi[1]]
+    best_k, best_s, model_ll_k, s_star = _two_stage_select(scores, ks, ss)
     from .vbhmm import _version
-    info = {"model_ll": scores, "model_k": ks, "model_s": ss,
+    info = {"model_ll": scores, "model_ll_k": model_ll_k,
+            "model_best_s_per_k": s_star, "model_k": ks, "model_s": ss,
             "model_best_k": best_k, "model_best_s": best_s,
             "model_all": results, "vbhemopt": config,
             "version": _version()}
     return results[(best_k, best_s)], info
+
+
+def _two_stage_select(scores, ks, ss):
+    """The reference's exact (K,S) selection rule
+    (`vbhem_h3m_cluster.m:261-345`): per K pick S* maximizing
+    LL + gammaln(S+1); then pick K maximizing the per-K winner's RAW
+    LL + gammaln(K+1) — the S-stage correction does NOT propagate to
+    the K stage (`out_all{ki}.LL` is the raw cell LL, `:276-283`).
+    A joint argmax of LL + gammaln(K+1) + gammaln(S+1) is a different
+    objective (differs by gammaln(S*+1) varying across K) and can flip
+    near-ties.
+
+    ``scores`` is the [nK, nS] grid of LL + gammaln(K+1) + gammaln(S+1)
+    (both corrections), from which both stages are derived exactly.
+    Returns (best_k, best_s, model_ll_k, s_star_per_k)."""
+    import numpy as np
+    from jax.scipy.special import gammaln as _gl
+    scores = np.asarray(scores)
+    # per-K S*: gammaln(K+1) is constant along a row, so the row argmax
+    # of `scores` equals the argmax of LL + gammaln(S+1)
+    s_star = np.argmax(scores, axis=1)                       # [nK]
+    s_corr = np.asarray([float(_gl(s + 1)) for s in ss])
+    # K stage: raw LL + gammaln(K+1) = scores - gammaln(S*+1)
+    model_ll_k = scores[np.arange(len(ks)), s_star] - s_corr[s_star]
+    # all-(-inf) rows (every cell failed) must not crash the argmax
+    if not np.isfinite(model_ll_k).any():
+        return ks[0], ss[0], model_ll_k, [ss[i] for i in s_star]
+    bi = int(np.argmax(model_ll_k))
+    return ks[bi], ss[s_star[bi]], model_ll_k, [ss[i] for i in s_star]
 
 
 def to_hmm_list(res: VBHEMResult, state_thresh: float = 1e-3):
@@ -1517,10 +1546,10 @@ def cluster_batched(key: jax.Array, base: H3M, k, s,
         else:
             scores[ki, si] = scores_device[ki, si]
 
-    bi = np.unravel_index(np.argmax(scores), scores.shape)
-    best_k, best_s = ks[bi[0]], ss[bi[1]]
+    best_k, best_s, model_ll_k, s_star = _two_stage_select(scores, ks, ss)
     from .vbhmm import _version
     info = {"model_ll": scores, "model_ll_device": scores_device,
+            "model_ll_k": model_ll_k, "model_best_s_per_k": s_star,
             "model_k": ks, "model_s": ss,
             "model_best_k": best_k, "model_best_s": best_s,
             "model_all": results, "model_hyps": cell_hyps_all,
