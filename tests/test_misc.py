@@ -269,3 +269,27 @@ def test_weighted_kmeans_energy_matches_matlab_oracle():
         jnp.asarray(x), jnp.asarray(w), jnp.asarray(init_c))
     np.testing.assert_array_equal(np.asarray(got_cl), cl)
     np.testing.assert_allclose(np.asarray(got_cen), cen, rtol=1e-10)
+
+
+def test_inv_logdet_small_d_closed_form():
+    """The D<=3 cofactor fast paths of inv_psd/logdet_psd must agree
+    with the generic Cholesky path to f64 precision on random SPD
+    batches (including near-ill-conditioned ones)."""
+    import numpy as np
+
+    from vbhem_tpu.utils.numeric import inv_psd, logdet_psd
+
+    rng = np.random.default_rng(11)
+    for d in (1, 2, 3, 4):
+        a = rng.normal(size=(7, 5, d, d))
+        spd = np.einsum("...de,...fe->...df", a, a) + 1e-3 * np.eye(d)
+        spd[0, 0] *= 1e-4          # small-scale block
+        spd[1, 0] *= 1e4           # large-scale block
+        j = jnp.asarray(spd)
+        got_inv = np.asarray(inv_psd(j))
+        got_ld = np.asarray(logdet_psd(j))
+        want_inv = np.linalg.inv(spd)
+        want_ld = np.linalg.slogdet(spd)[1]
+        np.testing.assert_allclose(got_inv, want_inv, rtol=2e-6,
+                                   atol=1e-10 * np.abs(want_inv).max())
+        np.testing.assert_allclose(got_ld, want_ld, rtol=1e-8, atol=1e-8)

@@ -113,13 +113,67 @@ def solve_psd(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def inv_psd(a: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of a symmetric positive-definite matrix via Cholesky."""
-    eye = jnp.broadcast_to(jnp.eye(a.shape[-1], dtype=a.dtype), a.shape)
+    """Inverse of a symmetric positive-definite matrix.
+
+    D <= 3 uses the closed-form cofactor inverse: the model family's
+    emission dims are tiny (D=2 fixations), and on TPU a batched
+    Cholesky of [..., 2, 2] lowers to unfusable loop kernels whose
+    launch overhead dominates the EM iteration's Kb-independent cost;
+    the cofactor form is pure elementwise arithmetic that XLA fuses
+    into the surrounding chain.  Larger D falls back to Cholesky."""
+    d = a.shape[-1]
+    if d == 1:
+        return 1.0 / a
+    if d == 2:
+        a00 = a[..., 0, 0]
+        a01 = 0.5 * (a[..., 0, 1] + a[..., 1, 0])
+        a11 = a[..., 1, 1]
+        det = a00 * a11 - a01 * a01
+        inv = jnp.stack([
+            jnp.stack([a11, -a01], axis=-1),
+            jnp.stack([-a01, a00], axis=-1)], axis=-2)
+        return inv / det[..., None, None]
+    if d == 3:
+        s = sym(a)
+        a00, a01, a02 = s[..., 0, 0], s[..., 0, 1], s[..., 0, 2]
+        a11, a12, a22 = s[..., 1, 1], s[..., 1, 2], s[..., 2, 2]
+        c00 = a11 * a22 - a12 * a12
+        c01 = a02 * a12 - a01 * a22
+        c02 = a01 * a12 - a02 * a11
+        c11 = a00 * a22 - a02 * a02
+        c12 = a01 * a02 - a00 * a12
+        c22 = a00 * a11 - a01 * a01
+        det = a00 * c00 + a01 * c01 + a02 * c02
+        inv = jnp.stack([
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c01, c11, c12], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1)], axis=-2)
+        return inv / det[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=a.dtype), a.shape)
     return sym(solve_psd(a, eye))
 
 
 def logdet_psd(a: jnp.ndarray) -> jnp.ndarray:
-    """log det of a symmetric positive-definite matrix via Cholesky."""
+    """log det of a symmetric positive-definite matrix.
+
+    Closed-form determinant for D <= 3 (see :func:`inv_psd` for why);
+    Cholesky otherwise.  PSD inputs keep the closed-form determinant
+    positive, so the log is as safe as the Cholesky diagonal."""
+    d = a.shape[-1]
+    if d == 1:
+        return jnp.log(a[..., 0, 0])
+    if d == 2:
+        a01 = 0.5 * (a[..., 0, 1] + a[..., 1, 0])
+        det = a[..., 0, 0] * a[..., 1, 1] - a01 * a01
+        return jnp.log(det)
+    if d == 3:
+        s = sym(a)
+        a00, a01, a02 = s[..., 0, 0], s[..., 0, 1], s[..., 0, 2]
+        a11, a12, a22 = s[..., 1, 1], s[..., 1, 2], s[..., 2, 2]
+        det = (a00 * (a11 * a22 - a12 * a12)
+               + a01 * (a02 * a12 - a01 * a22)
+               + a02 * (a01 * a12 - a02 * a11))
+        return jnp.log(det)
     chol = jnp.linalg.cholesky(a)
     diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
     return 2.0 * jnp.sum(jnp.log(diag), axis=-1)
