@@ -1,0 +1,171 @@
+"""Basin test for the S=3-over-S=2 preference (round-5 root-cause).
+
+The repeat-5 (2,3) winner is the true 2-state model with one state
+split into two near-identical copies.  Under POINT-estimate parameters
+the pair bound is exactly invariant to such splits (verified); under
+the VB digamma/NIW flavor splitting changes the bound.  This script
+measures which of two explanations holds:
+
+  A. "(2,2) under-optimized": merging the (2,3) winner's duplicate
+     states and re-converging EM at S=2 reaches (about) the same bound
+     -> the (2,2) cell's restarts simply never find that basin.
+  B. "bound rewards splitting": the merged-and-reconverged S=2 solution
+     tops out ~0.8 nats/virtual-sequence below the split S=3 solution
+     -> the reference's own objective prefers S=3, and its published
+     P(S_hat=2)=1 rests on its optimizer not finding these basins.
+
+Procedure (default hyps, no hyp-opt, f64 CPU):
+  1. fit (2,3) and (2,2) cells with 100 restarts each;
+  2. merge the (2,3) winner's two closest states per cluster (exact
+     count-space merge for Dirichlets; scatter-space merge for NIW);
+  3. re-run EM at S=2 from the merged posterior;
+  4. compare f64 bounds.
+"""
+import argparse
+import json
+import os
+import pickle
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def merge_states(post, pairs):
+    """Merge state pairs per cluster in an H3MPosterior (count space).
+
+    pairs: list over clusters of (keep_indices_after_merge, groups)
+    where groups is a list of index-lists mapping new states to old.
+    Dirichlets merge by summed pseudo-counts; NIW by summed counts,
+    count-weighted means, and added inverse scales (near-exact for
+    near-identical states; EM re-convergence cleans up the rest)."""
+    from vbhem_tpu.containers import H3MPosterior, NIW
+
+    eta0 = 1.0   # demo/synthetic default eta0 = epsilon0 = 1
+    eps0 = 1.0
+    kr = post.eta.shape[0]
+    sr_new = len(pairs[0])
+    eta = np.zeros((kr, sr_new))
+    eps = np.zeros((kr, sr_new, sr_new))
+    beta = np.zeros((kr, sr_new))
+    v = np.zeros((kr, sr_new))
+    m = np.zeros((kr, sr_new, post.niw.m.shape[-1]))
+    w = np.zeros((kr, sr_new) + post.niw.w.shape[-2:])
+    d = post.niw.m.shape[-1]
+    for j in range(kr):
+        groups = pairs[j]
+        eta_j = np.asarray(post.eta[j])
+        eps_j = np.asarray(post.epsilon[j])
+        b_j = np.asarray(post.niw.beta[j])
+        v_j = np.asarray(post.niw.v[j])
+        m_j = np.asarray(post.niw.m[j])
+        w_j = np.asarray(post.niw.w[j])
+        for a, g in enumerate(groups):
+            eta[j, a] = np.sum(eta_j[g]) - eta0 * (len(g) - 1)
+            for b, h in enumerate(groups):
+                # both source rows' and target cols' transition counts
+                # belong to the merged state: sum the whole block
+                c = np.sum(eps_j[np.ix_(g, h)] - eps0)
+                eps[j, a, b] = c + eps0
+        # NIW merge in count space (synthetic defaults)
+        lam0, v0 = 1.0, 5.0
+        for a, g in enumerate(groups):
+            n_k = b_j[g] - lam0
+            n_tot = np.sum(n_k)
+            beta[j, a] = n_tot + lam0
+            v[j, a] = v0 + n_tot + 1.0
+            m[j, a] = (n_k[:, None] * m_j[g]).sum(0) / max(n_tot, 1e-12)
+            winv = np.zeros((d, d))
+            w0inv = np.eye(d) / 1.0   # W0=1 synthetic default
+            for idx in g:
+                winv += np.linalg.inv(w_j[idx])
+            winv -= w0inv * (len(g) - 1)
+            w[j, a] = np.linalg.inv(winv)
+    return H3MPosterior(
+        alpha=post.alpha,
+        eta=jnp.asarray(eta), epsilon=jnp.asarray(eps),
+        niw=NIW(beta=jnp.asarray(beta), v=jnp.asarray(v),
+                m=jnp.asarray(m), w=jnp.asarray(w)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bank", default="syn_r3/r005_vbem.pkl")
+    ap.add_argument("--out", default="merge_basin_r5.json")
+    ap.add_argument("--trials", type=int, default=100)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from vbhem_tpu.experiments import runner as runner_mod
+    from vbhem_tpu.experiments import synthetic as syn
+    from vbhem_tpu.models import rescore, vbhem
+
+    with open(args.bank, "rb") as f:
+        banks = pickle.load(f)
+    if isinstance(banks, dict) and "banks" in banks:
+        banks = banks["banks"]
+    results = banks[runner_mod.GT_S] if isinstance(banks, dict) else banks
+
+    cfg = dataclasses.replace(syn.default_vbhem_config(trials=args.trials),
+                              learn_hyps=False, verbose=1)
+    base = vbhem.h3m_from_results(results, use_post=cfg.use_post,
+                                  covar_type=cfg.covar_type)
+    hyps = vbhem.VBHEMHyps.from_config(cfg, 2, base.hmm.mean.dtype)
+    key = jax.random.fold_in(jax.random.key(5), 1)
+
+    out = {}
+    sts = {}
+    for (kk, sv) in [(2, 2), (2, 3)]:
+        st = vbhem.select_best_trial(
+            vbhem.fit_single_ks(jax.random.fold_in(key, 10 * kk + sv),
+                                base, kk, sv, cfg, hyps,
+                                initmode="baseem"))
+        sts[(kk, sv)] = st
+        ll64 = rescore.elbo_f64(base, st.post, hyps, cfg.nv, cfg.tau)
+        out[f"cell_{kk}{sv}_f64"] = ll64
+        print(f"({kk},{sv}) best-of-{args.trials}: f64 {ll64:.2f}",
+              flush=True)
+
+    # detect the two closest states per cluster of the (2,3) winner
+    p23 = sts[(2, 3)].post
+    m23 = np.asarray(p23.niw.m)               # [2, 3, 2]
+    pairs = []
+    for j in range(2):
+        dmat = np.linalg.norm(m23[j][:, None] - m23[j][None], axis=-1)
+        np.fill_diagonal(dmat, np.inf)
+        a, b = np.unravel_index(np.argmin(dmat), dmat.shape)
+        rest = [i for i in range(3) if i not in (a, b)]
+        pairs.append([sorted([int(a), int(b)]), [int(rest[0])]])
+        print(f"cluster {j}: merging states {sorted([int(a), int(b)])} "
+              f"(means {m23[j][a].round(3)} ~ {m23[j][b].round(3)})",
+              flush=True)
+    out["merged_pairs"] = pairs
+
+    merged = merge_states(p23, pairs)
+    st_m = vbhem.vbhem_em(base, merged, hyps, nv=cfg.nv, tau=cfg.tau,
+                          max_iter=cfg.max_iter, min_diff=cfg.min_diff,
+                          covar_type=cfg.covar_type)
+    ll_m = rescore.elbo_f64(base, st_m.post, hyps, cfg.nv, cfg.tau)
+    out["merged_reconverged_f64"] = ll_m
+    print(f"merged->S=2 re-converged: f64 {ll_m:.2f}", flush=True)
+    out["gap_23_minus_22"] = out["cell_23_f64"] - out["cell_22_f64"]
+    out["gap_23_minus_merged"] = out["cell_23_f64"] - ll_m
+    out["verdict"] = ("A: (2,2) under-optimized"
+                     if ll_m > out["cell_22_f64"] + 1.0
+                     else "B: bound rewards splitting")
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

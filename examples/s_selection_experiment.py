@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--no-cap-lift", action="store_true",
                     help="keep max_hyp_solutions=5 (the capped default) "
                          "for the cap-effect comparison")
+    ap.add_argument("--no-hyp", action="store_true",
+                    help="disable hyp optimization entirely: isolates "
+                         "whether the bound alone (fixed default hyps) "
+                         "prefers the S=3 basin")
     ap.add_argument("--ks", default="2,3")
     ap.add_argument("--ss", default="2,3")
     ap.add_argument("--seed", type=int, default=5)
@@ -62,6 +66,7 @@ def main():
         syn.default_vbhem_config(trials=args.trials),
         hyp_max_steps=args.hyp_steps,
         max_hyp_solutions=None if not args.no_cap_lift else 5,
+        learn_hyps=not args.no_hyp,
         verbose=2)
     base = vbhem.h3m_from_results(results, use_post=cfg.use_post,
                                   covar_type=cfg.covar_type)

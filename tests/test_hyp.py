@@ -264,6 +264,18 @@ def test_degenerate_hyp_solutions_fall_back():
         hypmod.degenerate_mask(np.asarray([100.0]), np.asarray([150.0])),
         [False])
 
+    # a lane whose post-opt bound is WORSE than pre must also revert
+    # (minimize_new is monotone from hyps0, so post >= pre in the
+    # reference by construction)
+    out_w, n_w, bad_w = hypmod.fallback_degenerate_lanes(
+        {"ll": jnp.asarray([-741e3, -698419.0])},
+        {"ll": jnp.asarray([-743e3, -695169.0])},
+        np.asarray([-743e3, -695169.0]),
+        np.asarray([-741e3, -698419.0]))
+    np.testing.assert_array_equal(bad_w, [False, True])
+    np.testing.assert_allclose(np.asarray(out_w["ll"]),
+                               [-741e3, -695169.0])
+
     pre = {"ll": jnp.asarray(pre_ll), "x": jnp.arange(8.).reshape(4, 2)}
     post = {"ll": jnp.asarray(post_ll), "x": -jnp.ones((4, 2))}
     out, n_bad, bad = hypmod.fallback_degenerate_lanes(

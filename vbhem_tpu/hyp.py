@@ -220,11 +220,21 @@ def lbfgs_box(fun, theta0: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
     vag = optax.value_and_grad_from_state(safe_fun)
 
     def step(carry):
-        theta, state, _ = carry
+        theta, state, _, best_theta, best_v = carry
         v, g = vag(theta, state=state)
         ok = jnp.isfinite(v) & jnp.all(jnp.isfinite(g))
         v = jnp.where(ok, v, big)
         g = jnp.where(ok, g, jnp.zeros_like(g))
+        # best-so-far: L-BFGS steps on this noisy objective (a full EM
+        # re-run per eval, kinked at EM basin boundaries) are NOT
+        # monotone; returning the final iterate was observed to end
+        # thousands of nats WORSE than the start, silently corrupting
+        # the (K,S) grid.  The reference's minimize_new is a monotone
+        # line-search minimizer, so post >= pre always holds there —
+        # tracking the best iterate restores that contract.
+        better = v < best_v
+        best_theta = jnp.where(better, theta, best_theta)
+        best_v = jnp.where(better, v, best_v)
         # projected gradient: a component at an active bound that pushes
         # outward contributes nothing (minimizing, so descent moves along
         # -g: at lo, g>0 pushes below lo; at hi, g<0 pushes above hi)
@@ -240,10 +250,10 @@ def lbfgs_box(fun, theta0: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
         # (where the clip gradient is identically zero and the
         # coordinate could never re-enter the box)
         theta_new = jnp.clip(theta_new, lo, hi)
-        return theta_new, state, v
+        return theta_new, state, v, best_theta, best_v
 
     def cont(carry):
-        _, state, prev_v = carry
+        _, state, prev_v, _, _ = carry
         it = otu.tree_get(state, "count")
         g = otu.tree_get(state, "grad")
         v = otu.tree_get(state, "value")
@@ -253,11 +263,17 @@ def lbfgs_box(fun, theta0: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
         return (it == 0) | ((it < max_steps) & ~small_grad & ~small_step)
 
     state0 = opt.init(theta0)
-    theta, state, _ = jax.lax.while_loop(
-        cont, step, (theta0, state0, jnp.asarray(jnp.inf, dtype)))
-    v_final = otu.tree_get(state, "value")
+    theta, state, _, best_theta, best_v = jax.lax.while_loop(
+        cont, step, (theta0, state0, jnp.asarray(jnp.inf, dtype),
+                     theta0, big))
     it = otu.tree_get(state, "count")
-    return jnp.clip(theta, lo, hi), v_final, it
+    # the final iterate's value is only known if evaluated; compare it
+    # too so a last accepted improvement is not lost
+    v_last = safe_fun(theta)
+    better = v_last < best_v
+    best_theta = jnp.where(better, jnp.clip(theta, lo, hi), best_theta)
+    best_v = jnp.where(better, v_last, best_v)
+    return jnp.clip(best_theta, lo, hi), best_v, it
 
 
 def optimize_hyps_batched(neg_elbo_fn, hyps0, specs, batched_args,
@@ -345,13 +361,28 @@ def degenerate_mask(ll_pre, ll_post) -> np.ndarray:
 
 
 def fallback_degenerate_lanes(post_states, pre_states, ll_pre, ll_post):
-    """Replace degenerate hyp-optimized lanes (leading axis) with their
-    pre-optimization states; returns (states, n_degenerate, bad_mask).
+    """Replace degenerate OR degraded hyp-optimized lanes (leading
+    axis) with their pre-optimization states; returns
+    (states, n_reverted, bad_mask).
+
+    Beyond the degenerate signature (see :func:`degenerate_mask`), a
+    lane whose post-optimization bound is WORSE than its
+    pre-optimization bound is reverted: the reference's `minimize_new`
+    is a monotone line-search minimizer started at hyps0, so post >= pre
+    holds there by construction — a degraded lane here can only be an
+    optimizer/EM-path artifact, and keeping it was observed to swing a
+    (K,S) cell by thousands of nats (round-5 root-cause of the S=3
+    over-selection).
 
     Callers that keep per-lane learned hyps MUST also revert those lanes
     to the pre-optimization hyps (see :func:`substitute_lanes`), so the
     stored/rescored hyps always match the state actually kept."""
     bad = degenerate_mask(ll_pre, ll_post)
+    pre = np.asarray(ll_pre, np.float64)
+    post = np.asarray(ll_post, np.float64)
+    with np.errstate(invalid="ignore"):
+        tol = np.maximum(1e-6 * np.abs(pre), 1e-3)
+        bad |= np.isfinite(pre) & ~(post >= pre - tol)
     if not bad.any():
         return post_states, 0, bad
     badj = jnp.asarray(bad)
