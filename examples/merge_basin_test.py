@@ -159,9 +159,18 @@ def main():
     print(f"merged->S=2 re-converged: f64 {ll_m:.2f}", flush=True)
     out["gap_23_minus_22"] = out["cell_23_f64"] - out["cell_22_f64"]
     out["gap_23_minus_merged"] = out["cell_23_f64"] - ll_m
-    out["verdict"] = ("A: (2,2) under-optimized"
-                     if ll_m > out["cell_22_f64"] + 1.0
-                     else "B: bound rewards splitting")
+    if ll_m > out["cell_22_f64"] + 1.0:
+        out["verdict"] = ("A: (2,2) under-optimized — merging the S=3 "
+                          "winner reaches a better S=2 basin than 100 "
+                          "restarts found")
+    elif out["cell_22_f64"] > out["cell_23_f64"]:
+        out["verdict"] = ("C: bound prefers S=2 at fixed hyps; merging "
+                          "the S=3 winner recovers exactly the (2,2) "
+                          "optimum (no hidden basin) — splitting costs "
+                          f"{out['cell_22_f64'] - out['cell_23_f64']:.1f}"
+                          " nats of Dirichlet/NIW sub-normalization")
+    else:
+        out["verdict"] = "B: bound rewards splitting"
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
