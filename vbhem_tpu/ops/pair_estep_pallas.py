@@ -7,12 +7,18 @@ kernel so the intermediate Theta tensors never leave VMEM.
 
 Layout strategy: state counts (Sb, Sr) are tiny (2-8) while the base
 bank Kb is large, so every tensor is transposed to put **Kb on the TPU
-lane axis** (last dim, 128-wide) — recursion arithmetic then vectorizes
-across base HMMs on the VPU, the per-pair [Sb x Sb] / [Sr x Sr]
-contractions unroll into a handful of lane-wise multiply-adds, and the
-log-sum-exp reduces over a small leading axis.  The grid tiles (Kr,
-Kb/TILE); per grid cell the tau Theta slices live in a VMEM scratch of
-[tau-1, Sr, Sb, Sr, TILE].
+minor axes** — and not just the 128-wide lane axis: each block carries
+Kb as a trailing ``(tile/128, 8x128-ready)`` pair reshaped host-side to
+``[..., tile//128, 128]``, so Mosaic's (8, 128) vector registers are
+FULLY occupied (sublanes carry Kb too).  With the old ``[.., 128]``
+blocks the second-minor axis was a state dim of size 2-3 and every
+vreg ran 5/8 empty — measured 5x kernel-throughput difference at the
+bench shape.  Recursion arithmetic vectorizes across base HMMs on the
+VPU, the per-pair [Sb x Sb] / [Sr x Sr] contractions unroll into a
+handful of register-wide multiply-adds, and the log-sum-exp reduces
+over a small leading axis.  The grid tiles (Kr, Kb/tile); per grid
+cell the tau Theta slices live in a VMEM scratch of
+[tau-1, Sr, Sb, Sr, tile//128, 128].
 
 Semantics are identical to :func:`..pair_estep.pair_bwd_fwd` (oracle
 parity enforced in tests/test_pair_pallas.py); inputs/outputs use the
@@ -32,6 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .pair_estep import PairStats
 
 LANE = 128
+# Kb elements per grid cell: 8 sublanes x 128 lanes fills the (8, 128)
+# vector registers end to end
+TILE = 8 * LANE
 
 
 def _round_up(x: int, m: int) -> int:
@@ -41,68 +50,69 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(ell_ref, prior_ref, trans_ref, log_pi_ref, log_a_ref,
             ll_ref, nu1_ref, sxi_ref, stn_ref, theta_scr, *, tau: int,
             sb: int, sr: int):
-    """Grid cell = (j, i_tile).  Block shapes (leading Kr axis == 1):
-      ell:    [1, sb, sr, TILE]      prior: [sb, TILE]
-      trans:  [sb, sb, TILE]         log_pi: [1, sr, 1]
-      log_a:  [1, sr, sr, 1]
-      outputs: ll [1, 1, TILE], nu1 [1, sr, TILE], sxi [1, sr, sr, TILE],
-               stn [1, sr, sb, TILE]
-      scratch: theta [tau-1, sr, sb, sr, TILE]
+    """Grid cell = (j, i_tile).  Block shapes (leading Kr axis == 1;
+    trailing (S, L) = (tile//128, 128) is the Kb tile):
+      ell:    [1, sb, sr, S, L]      prior: [sb, S, L]
+      trans:  [sb, sb, S, L]         log_pi: [1, sr, 1, 1]
+      log_a:  [1, sr, sr, 1, 1]
+      outputs: ll [1, 1, S, L], nu1 [1, sr, S, L], sxi [1, sr, sr, S, L],
+               stn [1, sr, sb, S, L]
+      scratch: theta [tau-1, sr, sb, sr, S, L]
     """
-    ell = ell_ref[0]                       # [sb, sr, T]
-    log_a = log_a_ref[0, :, :, 0]          # [sr, sr]
-    log_pi = log_pi_ref[0, :, 0]           # [sr]
-    trans = trans_ref[...]                 # [sb, sb, T]
-    prior = prior_ref[...]                 # [sb, T]
-    tile = ell.shape[-1]
+    ell = ell_ref[0]                       # [sb, sr, S, L]
+    log_a = log_a_ref[0, :, :, 0, 0]       # [sr, sr]
+    log_pi = log_pi_ref[0, :, 0, 0]        # [sr]
+    trans = trans_ref[...]                 # [sb, sb, S, L]
+    prior = prior_ref[...]                 # [sb, S, L]
 
     def lse_rc(logtheta):
-        # logsumexp over the last state axis rc: [sr, sb, sr, T] -> [sr, sb, T]
+        # logsumexp over the state axis rc:
+        # [sr, sb, sr, S, L] -> [sr, sb, S, L]
         m = jnp.max(logtheta, axis=2)
-        return m + jnp.log(jnp.sum(jnp.exp(logtheta - m[:, :, None, :]),
+        return m + jnp.log(jnp.sum(jnp.exp(logtheta - m[:, :, None]),
                                    axis=2))
 
     # ---- backward (unrolled: tau is static and small; static scratch
     # indices avoid Mosaic's unsupported >2D dynamic gathers) ----
-    ll_old = jnp.zeros_like(ell)                       # [sb, sr, T]
+    ll_old = jnp.zeros_like(ell)                       # [sb, sr, S, L]
     for t in range(tau - 1):
-        # logtheta[rp, b, rc, kb]
-        logtheta = (log_a[:, None, :, None]
-                    + (ell + ll_old)[None, :, :, :])
-        lse = lse_rc(logtheta)                         # [sr, sb, T]
-        theta_scr[t] = jnp.exp(logtheta - lse[:, :, None, :])
-        # ll_new[b, r, kb] = sum_c trans[b, c, kb] * lse[r, c, kb]
+        # logtheta[rp, b, rc, S, L]
+        logtheta = (log_a[:, None, :, None, None]
+                    + (ell + ll_old)[None, :, :, :, :])
+        lse = lse_rc(logtheta)                         # [sr, sb, S, L]
+        theta_scr[t] = jnp.exp(logtheta - lse[:, :, None])
+        # ll_new[b, r, S, L] = sum_c trans[b, c, S, L] * lse[r, c, S, L]
         # (unrolled over the tiny Sb axis: Mosaic does not lower
         # lane-batched matmuls, and these are VPU-sized anyway)
         ll_old = jnp.stack(
-            [jnp.sum(trans[b][None, :, :] * lse, axis=1)
-             for b in range(sb)])                      # [sb, sr, T]
+            [jnp.sum(trans[b][None, :] * lse, axis=1)
+             for b in range(sb)])                      # [sb, sr, S, L]
 
     # ---- terminate (t = 1) ----
-    logtheta1 = log_pi[None, :, None] + ell + ll_old   # [sb, sr, T]
-    m1 = jnp.max(logtheta1, axis=1)                    # [sb, T]
-    lse1 = m1 + jnp.log(jnp.sum(jnp.exp(logtheta1 - m1[:, None, :]), axis=1))
-    theta1 = jnp.exp(logtheta1 - lse1[:, None, :])     # [sb, sr, T]
-    ll_ref[0, 0] = jnp.sum(prior * lse1, axis=0)       # [T]
+    logtheta1 = log_pi[None, :, None, None] + ell + ll_old  # [sb,sr,S,L]
+    m1 = jnp.max(logtheta1, axis=1)                    # [sb, S, L]
+    lse1 = m1 + jnp.log(jnp.sum(jnp.exp(logtheta1 - m1[:, None]), axis=1))
+    theta1 = jnp.exp(logtheta1 - lse1[:, None])        # [sb, sr, S, L]
+    ll_ref[0, 0] = jnp.sum(prior * lse1, axis=0)       # [S, L]
 
     # ---- forward ----
-    nu = prior[:, None, :] * theta1                    # [sb(b), sr(r), T] -> use [r, b]
-    nu = jnp.swapaxes(nu, 0, 1)                        # [sr, sb, T]
+    nu = prior[:, None] * theta1                       # [sb(b), sr(r), S, L]
+    nu = jnp.swapaxes(nu, 0, 1)                        # [sr, sb, S, L]
     nu1_ref[0] = jnp.sum(nu, axis=1)
-    sum_xi = jnp.zeros((sr, sr, tile), dtype=ell.dtype)
+    sum_xi = jnp.zeros((sr, sr) + ell.shape[-2:], dtype=ell.dtype)
     sum_t_nu = nu
 
     # theta slices were stored t = tau..2; forward needs t = 2..tau,
     # i.e. scratch indices tau-2 down to 0 (unrolled, static).
     for step in range(tau - 1):
-        theta_t = theta_scr[tau - 2 - step]            # [rp, b, rc, T]
-        # foo[rp, c, kb] = sum_b nu[rp, b, kb] trans[b, c, kb]
+        theta_t = theta_scr[tau - 2 - step]            # [rp, b, rc, S, L]
+        # foo[rp, c, S, L] = sum_b nu[rp, b, S, L] trans[b, c, S, L]
         foo = jnp.stack(
-            [jnp.sum(nu * trans[:, c, :][None], axis=1)
-             for c in range(sb)], axis=1)              # [sr, sb, T]
-        xi = foo[:, :, None, :] * theta_t              # [rp, b, rc, T]
-        sum_xi = sum_xi + jnp.sum(xi, axis=1)          # [rp, rc, T]
-        nu = jnp.swapaxes(jnp.sum(xi, axis=0), 0, 1)   # [rc, b, T]
+            [jnp.sum(nu * trans[:, c][None], axis=1)
+             for c in range(sb)], axis=1)              # [sr, sb, S, L]
+        xi = foo[:, :, None] * theta_t                 # [rp, b, rc, S, L]
+        sum_xi = sum_xi + jnp.sum(xi, axis=1)          # [rp, rc, S, L]
+        nu = jnp.swapaxes(jnp.sum(xi, axis=0), 0, 1)   # [rc, b, S, L]
         sum_t_nu = sum_t_nu + nu
     sxi_ref[0] = sum_xi
     stn_ref[0] = sum_t_nu
@@ -111,77 +121,88 @@ def _kernel(ell_ref, prior_ref, trans_ref, log_pi_ref, log_a_ref,
 def pair_bwd_fwd_pallas(prior_b: jnp.ndarray, trans_b: jnp.ndarray,
                         log_pi_r: jnp.ndarray, log_a_r: jnp.ndarray,
                         ell: jnp.ndarray, tau: int,
-                        tile: int = LANE,
+                        tile: int = TILE,
                         interpret: bool = False) -> PairStats:
     """Drop-in replacement for :func:`..pair_estep.pair_bwd_fwd`.
 
     Same argument/result layout ([Kb, ...] leading); internally
-    transposes to lane-major [.., Kb] and pads Kb to the tile size.
+    transposes to minor-axes-major [.., Kb//128, 128] and pads Kb to
+    the tile size (``tile`` must be a multiple of 128; 1024 = full
+    (8, 128) vreg occupancy).
     """
     kb, kr, sb, sr = ell.shape
     dtype = ell.dtype
+    assert tile % LANE == 0, tile
+    sub = tile // LANE
     kb_p = _round_up(max(kb, tile), tile)
 
-    # transpose to lane-major and pad the Kb axis
-    def padk(a, axis=-1):
+    # transpose to Kb-minor, pad the Kb axis, split into (S, L)
+    def padk(a):
         pad = [(0, 0)] * a.ndim
-        pad[axis] = (0, kb_p - kb)
-        return jnp.pad(a, pad)
+        pad[-1] = (0, kb_p - kb)
+        a = jnp.pad(a, pad)
+        return a.reshape(a.shape[:-1] + (kb_p // LANE, LANE))
 
-    ell_t = padk(jnp.transpose(ell, (1, 2, 3, 0)))          # [Kr,Sb,Sr,Kb]
-    prior_t = padk(jnp.transpose(prior_b, (1, 0)))          # [Sb,Kb]
-    trans_t = padk(jnp.transpose(trans_b, (1, 2, 0)))       # [Sb,Sb,Kb]
-    log_pi_t = log_pi_r[:, :, None]                         # [Kr,Sr,1]
-    log_a_t = log_a_r[:, :, :, None]                        # [Kr,Sr,Sr,1]
+    ell_t = padk(jnp.transpose(ell, (1, 2, 3, 0)))      # [Kr,Sb,Sr,S*,L]
+    prior_t = padk(jnp.transpose(prior_b, (1, 0)))      # [Sb,S*,L]
+    trans_t = padk(jnp.transpose(trans_b, (1, 2, 0)))   # [Sb,Sb,S*,L]
+    log_pi_t = log_pi_r[:, :, None, None]               # [Kr,Sr,1,1]
+    log_a_t = log_a_r[:, :, :, None, None]              # [Kr,Sr,Sr,1,1]
 
     n_tiles = kb_p // tile
     grid = (kr, n_tiles)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((kr, 1, kb_p), dtype),         # ll
-        jax.ShapeDtypeStruct((kr, sr, kb_p), dtype),        # nu1
-        jax.ShapeDtypeStruct((kr, sr, sr, kb_p), dtype),    # sum_xi
-        jax.ShapeDtypeStruct((kr, sr, sb, kb_p), dtype),    # sum_t_nu
+        jax.ShapeDtypeStruct((kr, 1, kb_p // LANE, LANE), dtype),      # ll
+        jax.ShapeDtypeStruct((kr, sr, kb_p // LANE, LANE), dtype),     # nu1
+        jax.ShapeDtypeStruct((kr, sr, sr, kb_p // LANE, LANE), dtype),  # sum_xi
+        jax.ShapeDtypeStruct((kr, sr, sb, kb_p // LANE, LANE), dtype),  # sum_t_nu
     )
     kernel = functools.partial(_kernel, tau=tau, sb=sb, sr=sr)
     ll_t, nu1_t, sxi_t, stn_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, sb, sr, tile), lambda j, i: (j, 0, 0, i),
+            pl.BlockSpec((1, sb, sr, sub, LANE),
+                         lambda j, i: (j, 0, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sb, tile), lambda j, i: (0, i),
+            pl.BlockSpec((sb, sub, LANE), lambda j, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sb, sb, tile), lambda j, i: (0, 0, i),
+            pl.BlockSpec((sb, sb, sub, LANE), lambda j, i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sr, 1), lambda j, i: (j, 0, 0),
+            pl.BlockSpec((1, sr, 1, 1), lambda j, i: (j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sr, sr, 1), lambda j, i: (j, 0, 0, 0),
+            pl.BlockSpec((1, sr, sr, 1, 1), lambda j, i: (j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, tile), lambda j, i: (j, 0, i),
+            pl.BlockSpec((1, 1, sub, LANE), lambda j, i: (j, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sr, tile), lambda j, i: (j, 0, i),
+            pl.BlockSpec((1, sr, sub, LANE), lambda j, i: (j, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sr, sr, tile), lambda j, i: (j, 0, 0, i),
+            pl.BlockSpec((1, sr, sr, sub, LANE),
+                         lambda j, i: (j, 0, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sr, sb, tile), lambda j, i: (j, 0, 0, i),
+            pl.BlockSpec((1, sr, sb, sub, LANE),
+                         lambda j, i: (j, 0, 0, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((max(tau - 1, 1), sr, sb, sr, tile), dtype),
+            pltpu.VMEM((max(tau - 1, 1), sr, sb, sr, sub, LANE), dtype),
         ],
         interpret=interpret,
     )(ell_t, prior_t, trans_t, log_pi_t, log_a_t)
 
-    # transpose back and strip padding
+    # collapse (S, L) back to Kb, transpose back and strip padding
+    def unsplit(a):
+        return a.reshape(a.shape[:-2] + (kb_p,))
+
     return PairStats(
-        ll_elbo=jnp.transpose(ll_t[:, 0, :], (1, 0))[:kb],
-        nu_1=jnp.transpose(nu1_t, (2, 0, 1))[:kb],
-        sum_xi=jnp.transpose(sxi_t, (3, 0, 1, 2))[:kb],
-        sum_t_nu=jnp.transpose(stn_t, (3, 0, 1, 2))[:kb],
+        ll_elbo=jnp.transpose(unsplit(ll_t)[:, 0, :], (1, 0))[:kb],
+        nu_1=jnp.transpose(unsplit(nu1_t), (2, 0, 1))[:kb],
+        sum_xi=jnp.transpose(unsplit(sxi_t), (3, 0, 1, 2))[:kb],
+        sum_t_nu=jnp.transpose(unsplit(stn_t), (3, 0, 1, 2))[:kb],
     )
 
 
@@ -265,7 +286,7 @@ def pair_bwd_fwd_auto(prior_b: jnp.ndarray, trans_b: jnp.ndarray,
     from .pair_estep import pair_bwd_fwd
 
     sb, sr = ell.shape[-2], ell.shape[-1]
-    scratch = max(tau - 1, 1) * sr * sb * sr * LANE * ell.dtype.itemsize
+    scratch = max(tau - 1, 1) * sr * sb * sr * TILE * ell.dtype.itemsize
     use_pallas = (jax.default_backend() == "tpu"
                   and ell.dtype == jnp.float32
                   and scratch <= _SCRATCH_BUDGET
