@@ -131,6 +131,16 @@ def run_parity_gate():
     for f in want._fields:
         check(f"pair.{f}", getattr(got, f), getattr(want, f), 5e-5)
 
+    # fully-fused flavor (E3logN computed in-kernel) — the path the EM
+    # iteration actually uses on TPU
+    from vbhem_tpu.ops.pair_estep_pallas import pair_bwd_fwd_fused_pallas
+    got_f = jax.jit(lambda: pair_bwd_fwd_fused_pallas(
+        base.hmm.prior, base.hmm.trans, base.hmm.mean, base.hmm.cov,
+        exps.log_pi, exps.log_a, post.niw.m, post.niw.w, post.niw.v,
+        post.niw.beta, exps.log_lam, tau))()
+    for f in want._fields:
+        check(f"fused.{f}", getattr(got_f, f), getattr(want, f), 5e-5)
+
     # ---- FB kernel (vbhmm_fb_mex.c) ----
     rng = np.random.default_rng(5)
     n, t_max, k = 192, 12, 3

@@ -179,12 +179,17 @@ def reduced_expectations(post: H3MPosterior) -> ReducedExpectations:
 def e_step(base: H3M, post: H3MPosterior, exps: ReducedExpectations,
            tau: int) -> PairStats:
     """Pair E-step over the full [Kb, Kr] grid
-    (`vbhem_h3m_c_step_fc.m:168-268`)."""
-    ell = expected_pair_ll_variational(
-        base.hmm.mean, base.hmm.cov, post.niw.m, post.niw.w,
-        post.niw.v, post.niw.beta, exps.log_lam)
-    return pair_bwd_fwd_auto(base.hmm.prior, base.hmm.trans,
-                        exps.log_pi, exps.log_a, ell, tau)
+    (`vbhem_h3m_c_step_fc.m:168-268`).
+
+    Uses the fully-fused kernel (E3logN + recursions in one Pallas
+    program on TPU; explicit ell + XLA scan elsewhere) — the
+    [Kb,Kr,Sb,Sr] expected-emission tensor never exists in HBM on the
+    fast path."""
+    from ..ops.pair_estep_pallas import pair_estep_fused_auto
+    return pair_estep_fused_auto(
+        base.hmm.prior, base.hmm.trans, base.hmm.mean, base.hmm.cov,
+        exps.log_pi, exps.log_a, post.niw.m, post.niw.w, post.niw.v,
+        post.niw.beta, exps.log_lam, tau)
 
 
 def soft_assignments(tilde_n: jnp.ndarray, log_omega: jnp.ndarray,
