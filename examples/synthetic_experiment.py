@@ -61,7 +61,14 @@ def main():
                     help="f64 (CPU, MATLAB-grade parity) or f32 (TPU)")
     ap.add_argument("--hyp-steps", type=int, default=25,
                     help="L-BFGS step cap for the batched hyp optimizers")
+    ap.add_argument("--max-hyp-solutions", default="5",
+                    help="cap on uniqueLL survivors that get hyp-"
+                         "optimized per grid cell ('none' = optimize "
+                         "every survivor, the reference behavior — "
+                         "`vbhem_h3m_c.m:96-160`)")
     args = ap.parse_args()
+    max_hyp = (None if str(args.max_hyp_solutions).lower() == "none"
+               else int(args.max_hyp_solutions))
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.dtype == "f64":
@@ -77,10 +84,12 @@ def main():
         n_per_cluster=args.subjects, n_seqs=args.seqs, t=args.t,
         k_grid=range(1, args.kmax + 1), s_grid=range(1, args.smax + 1),
         vb_config=dataclasses.replace(
-            synthetic.default_vb_config(), hyp_max_steps=args.hyp_steps, verbose=2),
+            synthetic.default_vb_config(), hyp_max_steps=args.hyp_steps,
+            max_hyp_solutions=max_hyp, verbose=2),
         vbhem_config=dataclasses.replace(
             synthetic.default_vbhem_config(trials=args.trials),
-            hyp_max_steps=args.hyp_steps, verbose=2),
+            hyp_max_steps=args.hyp_steps, max_hyp_solutions=max_hyp,
+            verbose=2),
         # exprmt1_demo.m:115-118: hemopt.tau = T, Nv = 100, initmode auto
         hem_config=HEMConfig(trials=args.hem_trials, nv=100, tau=args.t),
         methods=tuple(args.methods.split(",")),
