@@ -56,5 +56,10 @@ def test_aggregate_from_tracked_snapshots():
             for g in summary["groups"].values():
                 assert g["summary"], run_dir
         else:
-            for m, st in summary.items():
+            # reserved sidecar keys live alongside the method entries
+            # in the flat summary (see aggregate_from_checkpoints)
+            methods = {m: st for m, st in summary.items()
+                       if m not in ("provenance", "excluded")}
+            assert methods, run_dir
+            for m, st in methods.items():
                 assert st["n_repeats"] >= 1, (run_dir, m)
